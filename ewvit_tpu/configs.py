@@ -1,0 +1,125 @@
+"""Structured configuration for the Efficient Wavelet ViT TPU framework.
+
+Replaces the reference's scattered config surface — the ViT hyperparameters
+in config/architecture.yaml (/root/reference/config/architecture.yaml:1-12),
+per-script argparse defaults, and hardcoded constants — with typed
+dataclasses. ``ArchConfig.reference()`` reproduces the reference YAML values
+exactly so that parity checks share a single source of truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchConfig:
+    """ViT architecture hyperparameters.
+
+    Field-for-field equivalent of config/architecture.yaml in the reference
+    (image-size .. emb-dropout, /root/reference/config/architecture.yaml:2-12).
+    """
+
+    image_size: int = 224
+    patch_size: int = 7
+    num_classes: int = 1
+    dim: int = 512
+    depth: int = 2
+    dim_head: int = 64
+    heads: int = 8
+    mlp_dim: int = 2048
+    emb_dim: int = 64          # quirk: also the max supported flattened batch
+    dropout: float = 0.15
+    emb_dropout: float = 0.15
+
+    @classmethod
+    def reference(cls) -> "ArchConfig":
+        return cls()
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ArchConfig":
+        """Load from a reference-format YAML file (keys use dashes)."""
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f)["model"]
+        return cls(
+            image_size=raw["image-size"],
+            patch_size=raw["patch-size"],
+            num_classes=raw["num-classes"],
+            dim=raw["dim"],
+            depth=raw["depth"],
+            dim_head=raw["dim-head"],
+            heads=raw["heads"],
+            mlp_dim=raw["mlp-dim"],
+            emb_dim=raw["emb-dim"],
+            dropout=raw["dropout"],
+            emb_dropout=raw["emb-dropout"],
+        )
+
+    def to_yaml_dict(self) -> dict:
+        return {
+            "model": {
+                "image-size": self.image_size,
+                "patch-size": self.patch_size,
+                "num-classes": self.num_classes,
+                "dim": self.dim,
+                "depth": self.depth,
+                "dim-head": self.dim_head,
+                "heads": self.heads,
+                "mlp-dim": self.mlp_dim,
+                "emb-dim": self.emb_dim,
+                "dropout": self.dropout,
+                "emb-dropout": self.emb_dropout,
+            }
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Top-level DeepfakeDetector configuration.
+
+    Mirrors DeepfakeDetector/DAMA/MWT constructor arguments
+    (/root/reference/network/model.py:10, dama.py:86, mwt.py:13) plus
+    TPU-specific knobs (compute dtype, frame chunking, remat).
+    """
+
+    arch: ArchConfig = dataclasses.field(default_factory=ArchConfig)
+    in_channels: int = 3
+    dama_dim: int = 128          # feature dim ("--dim", train.py:39-40)
+    num_heads: int = 4           # DAMA cross-attention heads (dama.py:86)
+    levels: int = 3              # wavelet pyramid levels (mwt.py:13)
+    frame_chunk: int = 16        # per-frame micro-batch (dama.py:86 batch_size)
+    # TPU knobs
+    compute_dtype: str = "bfloat16"   # matmul/conv compute dtype
+    param_dtype: str = "float32"
+    remat_frames: bool = True         # jax.checkpoint per frame chunk
+    use_pallas_dwt: bool = False      # Pallas Haar kernel vs fused XLA path
+    use_pallas_dama: bool = False     # fused Pallas DAMA attention block
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (defaults = reference train.py:27-53, 270-274)."""
+
+    batch_size: int = 8
+    epochs: int = 30
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    lr_min: float = 1e-7          # cosine eta_min (train.py:274)
+    frame_count: int = 300
+    accum_steps: int = 2
+    seed: int = 42
+    # orthogonality-loss ramp (train.py:76-86)
+    orth_start_frac: float = 0.2
+    orth_full_frac: float = 0.5   # ramp length as a fraction of max_epochs
+    # curriculum (data_loader.py:240-262)
+    curriculum_early_frac: float = 0.3
+    curriculum_late_frac: float = 0.7
+    # backbone freezing: first N parameter tensors in torch named_parameters
+    # order are frozen (sfe.py:115-119)
+    frozen_backbone_params: int = 6
