@@ -1,0 +1,260 @@
+"""DeepfakeDetector — top model, ablation modes, and the video-level forward.
+
+Behavioral equivalent of the reference DeepfakeDetector
+(/root/reference/network/model.py:9-171) with its three ablation forwards
+(model.py:83-161). Differences by design:
+
+- Ablation mode is a *static* argument: each mode compiles to its own XLA
+  program. This also fixes the reference's uninitialized ``self.ablation``
+  quirk (model.py:77-78 only assigns when the arg is non-None).
+- The reference's per-frame chunk loops (model.py:103-113, :124-138,
+  dama.py:179-199) become one shared ``jax.lax.scan`` harness
+  (:func:`video_forward`) that carries BN statistics across chunks (matching
+  torch's sequential running-stat updates), masks ragged padding so the
+  mean over K frames is exact, and optionally rematerializes each chunk
+  (``jax.checkpoint``) to bound training memory.
+
+Module layout (names matter for checkpoint conversion):
+  dama      — DAMA (V2-S SFE + MWT + cross attention)       model.py:35
+  mwt       — standalone MWT                                 model.py:37
+  sfe       — EfficientViT B0, feature-map head              model.py:38-43
+  sfe_cls   — EfficientViT B0, cls head                      model.py:45-51
+  fusion_gate (Dense 2*dim->2 + ReLU + Dropout 0.1)          model.py:54-58
+  classifier (Dense dim->64 + ReLU + Dropout 0.3 + Dense->1) model.py:63-68
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ewvit_tpu.configs import ModelConfig
+from ewvit_tpu.models.dama import DAMA
+from ewvit_tpu.models.mwt import MWT
+from ewvit_tpu.models.sfe import EfficientViT
+
+ABLATION_MODES = ("dynamic", "sfe_only", "sfe_mwt")
+
+
+def _dtype_of(cfg: ModelConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+class DeepfakeDetector(nn.Module):
+    """Per-chunk compute + video-level heads. See :func:`video_forward`."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype_of(c)
+        self.dama = DAMA(
+            arch=c.arch, in_channels=c.in_channels, dim=c.dama_dim,
+            num_heads=c.num_heads, levels=c.levels,
+            use_pallas_dwt=c.use_pallas_dwt, dtype=dt,
+        )
+        self.mwt = MWT(
+            in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
+            use_pallas_dwt=c.use_pallas_dwt, dtype=dt,
+        )
+        self.sfe = EfficientViT(
+            arch=c.arch, channels=1280, selected_efficient_net=0,
+            feat_dim=c.dama_dim, output_mode="feature_map", dtype=dt,
+        )
+        self.sfe_cls = EfficientViT(
+            arch=c.arch, channels=1280, selected_efficient_net=0,
+            feat_dim=c.dama_dim, output_mode="cls", dtype=dt,
+        )
+        self.fusion_gate_fc = nn.Dense(2, dtype=dt)
+        self.fusion_gate_drop = nn.Dropout(0.1)
+        self.classifier_fc1 = nn.Dense(64, dtype=dt)
+        self.classifier_drop = nn.Dropout(0.3)
+        self.classifier_fc2 = nn.Dense(1, dtype=dt)
+
+    # ----- per-chunk compute (inside the frame scan) -----------------------
+
+    def process_chunk(self, x, mode: str, train: bool = False) -> Dict[str, Any]:
+        """x: [N, H, W, C] flattened frames -> per-frame features/logits."""
+        if mode == "dynamic":
+            out = self.dama(x, train=train)
+            return {"fused": out["fused"], "space": out["space"],
+                    "freq": out["freq"]}
+        if mode == "sfe_only":
+            return {"logits": self.sfe_cls(x, train=train)}     # [N, 1]
+        if mode == "sfe_mwt":
+            s = self.sfe(x, train=train)                        # [N,1,1,dim]
+            s = s.mean(axis=(1, 2))                             # feat_pooler
+            m = self.mwt(x, train=train).reshape(x.shape[0], -1)
+            return {"sfe": s, "mwt": m}
+        raise ValueError(f"Invalid ablation config: {mode}.")
+
+    # ----- video-level heads (after the frame mean) -------------------------
+
+    def _classify(self, f, train: bool):
+        h = nn.relu(self.classifier_fc1(f))
+        h = self.classifier_drop(h, deterministic=not train)
+        return self.classifier_fc2(h)
+
+    def head(self, feats: Dict[str, Any], mode: str, train: bool = False):
+        if mode == "dynamic":
+            logits = self._classify(feats["fused"], train)
+            return {"logits": logits, "fused": feats["fused"],
+                    "space": feats["space"], "freq": feats["freq"]}
+        if mode == "sfe_only":
+            return {"logits": feats["logits"], "model": "sfe_only"}
+        if mode == "sfe_mwt":
+            combined = jnp.concatenate([feats["sfe"], feats["mwt"]], axis=-1)
+            g = nn.relu(self.fusion_gate_fc(combined))
+            g = self.fusion_gate_drop(g, deterministic=not train)
+            gate = nn.softmax(g.astype(jnp.float32), axis=-1).astype(g.dtype)
+            fused = (feats["sfe"] * gate[:, 0:1] + feats["mwt"] * gate[:, 1:2])
+            logits = self._classify(fused, train)
+            return {"logits": logits, "sfe": feats["sfe"], "mwt": feats["mwt"],
+                    "model": "sfe_mwt"}
+        raise ValueError(f"Invalid ablation config: {mode}.")
+
+    def __call__(self, x, train: bool = False):
+        """Init/trace path: runs every mode once so all params are created.
+
+        ``x``: one flattened chunk [N, H, W, C].
+        """
+        outs = {}
+        for mode in ABLATION_MODES:
+            feats = self.process_chunk(x, mode, train=train)
+            outs[mode] = self.head(feats, mode, train=train)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# Video-level functional forward: lax.scan over frame chunks
+# ---------------------------------------------------------------------------
+
+
+def _feat_dims(cfg: ModelConfig, mode: str) -> Dict[str, int]:
+    d = cfg.dama_dim
+    if mode == "dynamic":
+        return {"fused": d, "space": d, "freq": d}
+    if mode == "sfe_only":
+        return {"logits": 1}
+    if mode == "sfe_mwt":
+        return {"sfe": d, "mwt": d}
+    raise ValueError(f"Invalid ablation config: {mode}.")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "mode", "frame_chunk", "train", "remat"),
+)
+def video_forward(
+    model: DeepfakeDetector,
+    variables,
+    x: jax.Array,
+    *,
+    mode: str = "dynamic",
+    frame_chunk: int = 8,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    remat: bool = True,
+) -> Tuple[Dict[str, Any], Optional[Dict]]:
+    """Full video forward: chunked per-frame scan + mean + head.
+
+    Args:
+      x: ``[B, K, H, W, C]`` video frames (NHWC, preprocessed).
+      mode: ablation mode (static — one compiled program per mode).
+      frame_chunk: frames per scan step; flattened chunk is B*frame_chunk
+        (must stay <= ArchConfig.emb_dim for the reference positional
+        embedding quirk — see sfe.py).
+      train: enables dropout/droppath and BN batch statistics; BN running
+        stats are carried through the scan and returned as updates.
+      rng: base PRNG key for dropout/droppath when train=True.
+
+    Returns:
+      ``(outputs, batch_stats_updates_or_None)`` — outputs matches the
+      reference forward dicts (model.py:94-161).
+    """
+    b, k = x.shape[:2]
+    cfg = model.cfg
+    chunk = min(frame_chunk, k)
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((b, pad) + x.shape[2:], x.dtype)], axis=1)
+    frames = x.reshape(b, n_chunks, chunk, *x.shape[2:]).transpose(
+        1, 0, 2, 3, 4, 5)                                   # [n, B, chunk, ...]
+    mask = jnp.concatenate(
+        [jnp.ones((k,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    ).reshape(n_chunks, 1, chunk, 1)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, n_chunks * 2).reshape(n_chunks, 2, 2)
+
+    params = {kk: v for kk, v in variables.items() if kk != "batch_stats"}
+    bstats0 = variables.get("batch_stats", None)
+    dims = _feat_dims(cfg, mode)
+    sums0 = {kk: jnp.zeros((b, d), jnp.float32) for kk, d in dims.items()}
+
+    def chunk_fn(bstats, fr, key2):
+        vars_ = dict(params)
+        if bstats is not None:
+            vars_["batch_stats"] = bstats
+        rngs = {"dropout": key2[0], "droppath": key2[1]} if train else None
+        if train and bstats is not None:
+            out, upd = model.apply(
+                vars_, fr.reshape(b * chunk, *fr.shape[2:]), mode, train,
+                method=DeepfakeDetector.process_chunk,
+                mutable=["batch_stats"], rngs=rngs)
+            new_bstats = upd["batch_stats"]
+        else:
+            out = model.apply(
+                vars_, fr.reshape(b * chunk, *fr.shape[2:]), mode, train,
+                method=DeepfakeDetector.process_chunk, rngs=rngs)
+            new_bstats = bstats
+        return new_bstats, out
+
+    if remat:
+        chunk_fn = jax.checkpoint(chunk_fn)
+
+    def body(carry, xs):
+        bstats, sums = carry
+        fr, m, key2 = xs
+        bstats, out = chunk_fn(bstats, fr, key2)
+        sums = {
+            kk: sums[kk]
+            + (out[kk].astype(jnp.float32).reshape(b, chunk, -1) * m).sum(axis=1)
+            for kk in sums
+        }
+        return (bstats, sums), None
+
+    (bstats, sums), _ = jax.lax.scan(
+        body, (bstats0, sums0), (frames, mask, keys))
+    means = {kk: (v / k).astype(_dtype_of(cfg)) for kk, v in sums.items()}
+
+    head_vars = dict(params)
+    if bstats is not None:
+        head_vars["batch_stats"] = bstats
+    head_rngs = {"dropout": jax.random.fold_in(rng, 997)} if train else None
+    outputs = model.apply(
+        head_vars, means, mode, train,
+        method=DeepfakeDetector.head, rngs=head_rngs)
+    updates = {"batch_stats": bstats} if (train and bstats0 is not None) else None
+    return outputs, updates
+
+
+def create_detector(cfg: ModelConfig) -> DeepfakeDetector:
+    return DeepfakeDetector(cfg=cfg)
+
+
+def init_detector(cfg: ModelConfig, rng: jax.Array, image_size: Optional[int] = None):
+    """Initialize all parameters (every ablation branch) with a 1-frame chunk."""
+    model = create_detector(cfg)
+    size = image_size or cfg.arch.image_size
+    dummy = jnp.zeros((1, size, size, cfg.in_channels), _dtype_of(cfg))
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng}, dummy)
+    return model, variables

@@ -1,0 +1,297 @@
+"""EfficientNet-B0 and EfficientNetV2-S backbones in Flax (NHWC, bf16-ready).
+
+TPU-native re-implementations of the two backbones the reference pulls from
+third-party packages:
+
+- ``EfficientNetB0`` ≙ ``efficientnet_pytorch.EfficientNet.from_pretrained(
+  'efficientnet-b0').extract_features`` (/root/reference/network/sfe.py:108-109,
+  :148) — TF-style asymmetric 'SAME' padding, BN(eps=1e-3, decay=0.99), swish,
+  squeeze-excitation sized from block *input* channels, drop-connect 0.2
+  linearly scaled over blocks. Output: [N, 7, 7, 1280] at 224 input.
+- ``EfficientNetV2S`` ≙ ``torchvision.models.efficientnet_v2_s(...).features``
+  (/root/reference/network/sfe.py:111-113, :150) — symmetric (k-1)//2 padding,
+  BN(eps=1e-3, torch momentum 0.1 => EMA decay 0.9), SiLU, Fused-MBConv early
+  stages, SE squeeze = block input // 4, stochastic depth 0.2 (row mode).
+  Output: [N, 7, 7, 1280] at 224 input.
+
+The first-6-parameter freeze policy of the reference (sfe.py:115-119) is
+provided as :func:`frozen_param_paths` returning the flax param-tree paths
+that correspond to the first 6 tensors of torch ``named_parameters`` order
+(stem conv kernel, stem BN scale/bias, first block's first conv kernel and
+its BN scale/bias).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCfg:
+    repeats: int
+    kernel: int
+    stride: int
+    expand: int
+    in_ch: int
+    out_ch: int
+    se_ratio: float = 0.25
+    fused: bool = False
+
+
+# efficientnet_pytorch 'efficientnet-b0' blocks_args (width/depth multiplier 1.0)
+B0_BLOCKS: Tuple[BlockCfg, ...] = (
+    BlockCfg(1, 3, 1, 1, 32, 16),
+    BlockCfg(2, 3, 2, 6, 16, 24),
+    BlockCfg(2, 5, 2, 6, 24, 40),
+    BlockCfg(3, 3, 2, 6, 40, 80),
+    BlockCfg(3, 5, 1, 6, 80, 112),
+    BlockCfg(4, 5, 2, 6, 112, 192),
+    BlockCfg(1, 3, 1, 6, 192, 320),
+)
+
+# torchvision efficientnet_v2_s inverted_residual_setting
+V2S_BLOCKS: Tuple[BlockCfg, ...] = (
+    BlockCfg(2, 3, 1, 1, 24, 24, se_ratio=0.0, fused=True),
+    BlockCfg(4, 3, 2, 4, 24, 48, se_ratio=0.0, fused=True),
+    BlockCfg(4, 3, 2, 4, 48, 64, se_ratio=0.0, fused=True),
+    BlockCfg(6, 3, 2, 4, 64, 128, se_ratio=0.25),
+    BlockCfg(9, 3, 1, 6, 128, 160, se_ratio=0.25),
+    BlockCfg(15, 3, 2, 6, 160, 256, se_ratio=0.25),
+)
+
+
+def _pad_for(kernel: int, stride: int, tf_same: bool):
+    """'SAME' (TF asymmetric) for B0, symmetric (k-1)//2 for torchvision V2."""
+    if tf_same:
+        return "SAME"
+    p = (kernel - 1) // 2
+    return ((p, p), (p, p))
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm (+ optional SiLU). Layout NHWC, kernel HWIO."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    tf_same: bool = True
+    act: bool = True
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.99
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=_pad_for(self.kernel, self.stride, self.tf_same),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """SE block: GAP -> 1x1 reduce -> SiLU -> 1x1 expand -> sigmoid gate."""
+
+    squeeze_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze_ch, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+def _stochastic_depth(x, rate: float, deterministic: bool, rng):
+    """Row-mode stochastic depth on a residual branch (scales by 1/keep)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class MBConv(nn.Module):
+    """Inverted-residual MBConv block.
+
+    ``se_from_input=True`` (B0): squeeze channels = max(1, in_ch * se_ratio).
+    ``se_from_input=False`` (V2): squeeze channels = in_ch // 4.
+    """
+
+    cfg_in: int
+    cfg_out: int
+    kernel: int
+    stride: int
+    expand: int
+    se_ratio: float
+    drop_rate: float
+    tf_same: bool
+    bn_momentum: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x
+        expanded = self.cfg_in * self.expand
+        if self.expand != 1:
+            x = ConvBN(expanded, 1, 1, tf_same=self.tf_same,
+                       bn_momentum=self.bn_momentum, dtype=self.dtype,
+                       name="expand_conv")(x, train=train)
+        x = ConvBN(expanded, self.kernel, self.stride, groups=expanded,
+                   tf_same=self.tf_same, bn_momentum=self.bn_momentum,
+                   dtype=self.dtype, name="depthwise")(x, train=train)
+        if self.se_ratio > 0:
+            squeeze = max(1, int(self.cfg_in * self.se_ratio))
+            x = SqueezeExcite(squeeze, dtype=self.dtype, name="se")(x)
+        x = ConvBN(self.cfg_out, 1, 1, tf_same=self.tf_same, act=False,
+                   bn_momentum=self.bn_momentum, dtype=self.dtype,
+                   name="project")(x, train=train)
+        if self.stride == 1 and self.cfg_in == self.cfg_out:
+            rng = self.make_rng("droppath") if train and self.drop_rate > 0 else None
+            x = inp + _stochastic_depth(x, self.drop_rate, not train, rng)
+        return x
+
+
+class FusedMBConv(nn.Module):
+    """Fused MBConv (V2 early stages): full kxk conv replaces expand+depthwise."""
+
+    cfg_in: int
+    cfg_out: int
+    kernel: int
+    stride: int
+    expand: int
+    drop_rate: float
+    bn_momentum: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x
+        if self.expand != 1:
+            x = ConvBN(self.cfg_in * self.expand, self.kernel, self.stride,
+                       tf_same=False, bn_momentum=self.bn_momentum,
+                       dtype=self.dtype, name="fused_expand")(x, train=train)
+            x = ConvBN(self.cfg_out, 1, 1, tf_same=False, act=False,
+                       bn_momentum=self.bn_momentum, dtype=self.dtype,
+                       name="project")(x, train=train)
+        else:
+            x = ConvBN(self.cfg_out, self.kernel, self.stride, tf_same=False,
+                       bn_momentum=self.bn_momentum, dtype=self.dtype,
+                       name="fused_expand")(x, train=train)
+        if self.stride == 1 and self.cfg_in == self.cfg_out:
+            rng = self.make_rng("droppath") if train and self.drop_rate > 0 else None
+            x = inp + _stochastic_depth(x, self.drop_rate, not train, rng)
+        return x
+
+
+class _EfficientNet(nn.Module):
+    blocks: Tuple[BlockCfg, ...]
+    stem_ch: int
+    head_ch: int
+    tf_same: bool
+    bn_momentum: float
+    drop_connect_rate: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ConvBN(self.stem_ch, 3, 2, tf_same=self.tf_same,
+                   bn_momentum=self.bn_momentum, dtype=self.dtype,
+                   name="stem")(x, train=train)
+        total = sum(c.repeats for c in self.blocks)
+        idx = 0
+        for si, cfg in enumerate(self.blocks):
+            for r in range(cfg.repeats):
+                in_ch = cfg.in_ch if r == 0 else cfg.out_ch
+                stride = cfg.stride if r == 0 else 1
+                rate = self.drop_connect_rate * idx / total
+                if cfg.fused:
+                    x = FusedMBConv(
+                        in_ch, cfg.out_ch, cfg.kernel, stride, cfg.expand,
+                        rate, self.bn_momentum, dtype=self.dtype,
+                        name=f"block_{si}_{r}")(x, train=train)
+                else:
+                    x = MBConv(
+                        in_ch, cfg.out_ch, cfg.kernel, stride, cfg.expand,
+                        cfg.se_ratio, rate, self.tf_same, self.bn_momentum,
+                        dtype=self.dtype, name=f"block_{si}_{r}")(x, train=train)
+                idx += 1
+        x = ConvBN(self.head_ch, 1, 1, tf_same=self.tf_same,
+                   bn_momentum=self.bn_momentum, dtype=self.dtype,
+                   name="head")(x, train=train)
+        return x
+
+
+class EfficientNetB0(nn.Module):
+    """B0 feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:108-109)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        return _EfficientNet(
+            B0_BLOCKS, stem_ch=32, head_ch=1280, tf_same=True,
+            bn_momentum=0.99, dtype=self.dtype, name="net")(x, train=train)
+
+
+class EfficientNetV2S(nn.Module):
+    """V2-S feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:111-113)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        return _EfficientNet(
+            V2S_BLOCKS, stem_ch=24, head_ch=1280, tf_same=False,
+            bn_momentum=0.9, dtype=self.dtype, name="net")(x, train=train)
+
+
+def frozen_param_paths(variant: str) -> Sequence[Tuple[str, ...]]:
+    """Param-tree paths frozen by the reference's first-6 policy (sfe.py:115-119).
+
+    torch ``named_parameters`` order for both backbones starts with: stem conv
+    weight, stem BN weight, stem BN bias, first-block first conv weight, its
+    BN weight, its BN bias. (For B0 the first block has no expand conv, so its
+    first conv is the depthwise one.)
+    """
+    if variant == "b0":
+        first_conv = ("net", "block_0_0", "depthwise")
+    elif variant == "v2s":
+        first_conv = ("net", "block_0_0", "fused_expand")
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    stem = ("net", "stem")
+    return [
+        stem + ("conv", "kernel"),
+        stem + ("bn", "scale"),
+        stem + ("bn", "bias"),
+        first_conv + ("conv", "kernel"),
+        first_conv + ("bn", "scale"),
+        first_conv + ("bn", "bias"),
+    ]

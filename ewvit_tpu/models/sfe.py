@@ -1,0 +1,101 @@
+"""SFE — EfficientViT spatial feature extractor (Flax, NHWC).
+
+Behavioral equivalent of the reference EfficientViT
+(/root/reference/network/sfe.py:87-173): EfficientNet backbone -> patchify the
+7x7x1280 feature map with patch_size 7 (=> a single patch, sfe.py:121) ->
+linear embed to ``dim`` -> prepend CLS token -> add the *batch-indexed*
+positional embedding -> 2-layer ViT -> either an MLP classification head on
+the CLS token (``output_mode='cls'``) or a per-token feature map head
+(``feat_map``: Dense(dim->feat_dim)+ReLU, reshaped to [N,1,1,feat_dim]).
+
+Reproduced quirk (documented, reference sfe.py:126, :158-159): the positional
+embedding has shape ``[emb_dim, 1, dim]`` and is added as
+``x += pos_embedding[0:N]`` — each element of the flattened (batch*frames)
+axis receives a *different* embedding indexed by its batch position, and the
+model only supports flattened batches up to ``emb_dim`` (64). We keep the
+semantics for checkpoint parity and raise a clear error above the limit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ewvit_tpu.configs import ArchConfig
+from ewvit_tpu.models.efficientnet import EfficientNetB0, EfficientNetV2S
+from ewvit_tpu.models.layers import Transformer
+
+Dtype = Any
+
+
+class EfficientViT(nn.Module):
+    """Backbone + tiny ViT. Input [N,H,W,3]; output depends on ``output_mode``.
+
+    output_mode:
+      - 'cls':          [N, num_classes] logits via mlp_head (sfe.py:163-166)
+      - anything else:  [N, 1, 1, feat_dim] feature map (sfe.py:167-173)
+    """
+
+    arch: ArchConfig
+    channels: int = 1280
+    selected_efficient_net: int = 0    # 0 = B0, 1 = V2-S (sfe.py:106-113)
+    feat_dim: int = 128
+    output_mode: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, *, train: bool = False):
+        a = self.arch
+        p = a.patch_size
+        if self.selected_efficient_net == 0:
+            feats = EfficientNetB0(dtype=self.dtype, name="efficient_net")(
+                img, train=train)
+        else:
+            feats = EfficientNetV2S(dtype=self.dtype, name="efficient_net")(
+                img, train=train)
+
+        n, fh, fw, fc = feats.shape
+        gh, gw = fh // p, fw // p
+        # rearrange 'b (h p1) (w p2) c -> b (h w) (p1 p2 c)'; torch source is
+        # NCHW but its per-patch order (p1, p2, c) equals NHWC flattening.
+        y = feats.reshape(n, gh, p, gw, p, fc)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * gw, p * p * fc)
+        y = nn.Dense(a.dim, dtype=self.dtype, name="patch_to_embedding")(y)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, a.dim),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (n, 1, a.dim)).astype(y.dtype), y], axis=1
+        )
+
+        if n > a.emb_dim:
+            raise ValueError(
+                f"flattened batch {n} exceeds emb_dim={a.emb_dim}: the "
+                "reference's batch-indexed positional embedding "
+                "(sfe.py:158-159) only supports up to emb_dim rows"
+            )
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(stddev=1.0),
+            (a.emb_dim, 1, a.dim), jnp.float32,
+        )
+        x = x + pos[:n].astype(x.dtype)
+        x = nn.Dropout(a.emb_dropout)(x, deterministic=not train)
+        x = Transformer(
+            a.dim, a.depth, a.heads, a.dim_head, a.mlp_dim,
+            dropout=a.dropout, dtype=self.dtype, name="transformer",
+        )(x, deterministic=not train)
+
+        if self.output_mode == "cls":
+            h = nn.Dense(a.mlp_dim, dtype=self.dtype, name="mlp_head_fc1")(x[:, 0])
+            h = nn.relu(h)
+            return nn.Dense(a.num_classes, dtype=self.dtype, name="mlp_head_fc2")(h)
+
+        tokens = x[:, 1:]                       # [N, num_patches, dim]
+        f = nn.Dense(self.feat_dim, dtype=self.dtype, name="feat_map")(tokens)
+        f = nn.relu(f)
+        side = int(round(tokens.shape[1] ** 0.5))
+        return f.reshape(n, side, side, self.feat_dim)  # NHWC feature map

@@ -1,0 +1,8 @@
+"""Device-mesh construction and sharding rules (data + frame axes)."""
+
+from ewvit_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

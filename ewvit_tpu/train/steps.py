@@ -1,0 +1,141 @@
+"""Jitted train/eval steps with gradient accumulation.
+
+Replaces the reference's eager loop (/root/reference/train.py:93-140) with a
+single compiled step: the reference calls ``loss.backward()`` per loader batch
+and ``optimizer.step()`` every ``accum_steps`` batches (train.py:108-115); here
+one ``train_step`` consumes ``accum_steps`` micro-batches stacked on a leading
+axis, scans over them accumulating gradients (and BN stats sequentially, like
+torch), and applies one optimizer update — identical math, one XLA program.
+
+Multi-chip: steps are pjit-compatible — batch axes shard over the mesh's
+'data' axis and XLA inserts the gradient all-reduce (see ewvit_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ewvit_tpu.models.detector import DeepfakeDetector, video_forward
+from ewvit_tpu.train.losses import combined_loss, weighted_bce_with_logits
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(variables, tx) -> Tuple[TrainState, Any]:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats"),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def _loss_fn(params, batch_stats, model, frames, labels, *, mode, frame_chunk,
+             pos_weight, epoch, max_epochs, rng, train):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    outputs, updates = video_forward(
+        model, variables, frames, mode=mode, frame_chunk=frame_chunk,
+        train=train, rng=rng)
+    criterion = functools.partial(weighted_bce_with_logits,
+                                  pos_weight=pos_weight)
+    loss, parts = combined_loss(outputs, labels, criterion, epoch, max_epochs)
+    new_stats = updates["batch_stats"] if updates else batch_stats
+    preds = jax.nn.sigmoid(outputs["logits"].astype(jnp.float32))
+    return loss, (new_stats, parts, preds)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "tx", "mode", "frame_chunk", "accum_steps"),
+)
+def train_step(
+    state: TrainState,
+    frames: jax.Array,      # [accum_steps * B, K, H, W, C]
+    labels: jax.Array,      # [accum_steps * B]
+    rng: jax.Array,
+    *,
+    model: DeepfakeDetector,
+    tx: optax.GradientTransformation,
+    mode: str = "dynamic",
+    frame_chunk: int = 8,
+    accum_steps: int = 1,
+    pos_weight: float = 1.0,
+    epoch: jax.Array | int = 0,
+    max_epochs: int = 30,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer update over ``accum_steps`` micro-batches."""
+    g = accum_steps
+    bt = frames.shape[0]
+    assert bt % g == 0, f"batch {bt} not divisible by accum_steps {g}"
+    b = bt // g
+    mb_frames = frames.reshape(g, b, *frames.shape[1:])
+    mb_labels = labels.reshape(g, b)
+    keys = jax.random.split(rng, g)
+
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+    def micro(carry, xs):
+        bstats, gsum, loss_sum, cls_sum, orth_sum = carry
+        fr, lb, key = xs
+        (loss, (bstats, parts, _)), grads = grad_fn(
+            state.params, bstats, model, fr, lb, mode=mode,
+            frame_chunk=frame_chunk, pos_weight=pos_weight, epoch=epoch,
+            max_epochs=max_epochs, rng=key, train=True)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        return (bstats, gsum, loss_sum + loss, cls_sum + parts["cls_loss"],
+                orth_sum + parts["orth_loss"]), None
+
+    gzero = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
+    (bstats, gsum, loss_sum, cls_sum, orth_sum), _ = jax.lax.scan(
+        micro,
+        (state.batch_stats, gzero, jnp.zeros((), jnp.float32),
+         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (mb_frames, mb_labels, keys),
+    )
+    # mean gradient over micro-batches == reference's loss/accum_steps scaling
+    grads = jax.tree_util.tree_map(lambda x: x / g, gsum)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params, bstats, opt_state, state.step + 1)
+    metrics = {"loss": loss_sum / g, "cls_loss": cls_sum / g,
+               "orth_loss": orth_sum / g}
+    return new_state, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "mode", "frame_chunk"),
+)
+def eval_step(
+    params,
+    batch_stats,
+    frames: jax.Array,      # [B, K, H, W, C]
+    labels: jax.Array,      # [B]
+    *,
+    model: DeepfakeDetector,
+    mode: str = "dynamic",
+    frame_chunk: int = 8,
+    pos_weight: float = 1.0,
+    epoch: int = 1,
+    max_epochs: int = 1,
+) -> Dict[str, jax.Array]:
+    """Forward + loss + sigmoid predictions (no grad, no stat updates)."""
+    loss, (_, parts, preds) = _loss_fn(
+        params, batch_stats, model, frames, labels, mode=mode,
+        frame_chunk=frame_chunk, pos_weight=pos_weight, epoch=epoch,
+        max_epochs=max_epochs, rng=jax.random.PRNGKey(0), train=False)
+    return {"loss": loss, "cls_loss": parts["cls_loss"],
+            "orth_loss": parts["orth_loss"], "preds": preds.reshape(-1)}

@@ -7,7 +7,9 @@ so we pin JAX to CPU with 8 virtual devices BEFORE jax initializes. Benchmarks
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the session environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must NOT compete for the single chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,145 @@
+"""Model-zoo unit tests: shapes, modes, chunk-invariance (SURVEY.md §4 plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ewvit_tpu.configs import ArchConfig, ModelConfig
+from ewvit_tpu.models import (
+    DAMA,
+    DeepfakeDetector,
+    EfficientNetB0,
+    EfficientNetV2S,
+    EfficientViT,
+    MWT,
+)
+from ewvit_tpu.models.detector import init_detector, video_forward
+from ewvit_tpu.models.efficientnet import frozen_param_paths
+
+ARCH = ArchConfig.reference()
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+@pytest.mark.parametrize("cls,variant", [(EfficientNetB0, "b0"),
+                                         (EfficientNetV2S, "v2s")])
+def test_backbone_shapes_and_frozen_paths(cls, variant):
+    m = cls()
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(m.apply)(variables, x)
+    assert y.shape == (1, 7, 7, 1280)
+    for path in frozen_param_paths(variant):
+        leaf = _get(variables["params"], path)
+        assert leaf is not None and leaf.size > 0
+
+
+def test_efficientvit_cls_and_feature_modes():
+    x = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    m_cls = EfficientViT(arch=ARCH, selected_efficient_net=0, output_mode="cls")
+    v = jax.jit(m_cls.init)(jax.random.PRNGKey(0), x)
+    logits = jax.jit(m_cls.apply)(v, x)
+    assert logits.shape == (2, 1)
+
+    m_feat = EfficientViT(arch=ARCH, selected_efficient_net=0,
+                          output_mode="feature_map", feat_dim=128)
+    v = jax.jit(m_feat.init)(jax.random.PRNGKey(0), x)
+    f = jax.jit(m_feat.apply)(v, x)
+    assert f.shape == (2, 1, 1, 128)
+    assert bool(jnp.all(f >= 0))  # ReLU head
+
+
+def test_efficientvit_batch_indexed_pos_embedding_quirk():
+    """Batch elements get different pos embeddings; >emb_dim raises."""
+    m = EfficientViT(arch=ARCH, output_mode="feature_map")
+    with pytest.raises(ValueError, match="emb_dim"):
+        m.init(jax.random.PRNGKey(0),
+               jnp.zeros((ARCH.emb_dim + 1, 224, 224, 3), jnp.float32))
+
+
+def test_mwt_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    m = MWT(dama_dim=128, levels=3)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(m.apply)(v, x)
+    assert y.shape == (2, 1, 1, 128)
+
+
+def test_mwt_batch_stats_update(rng):
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    m = MWT(dama_dim=32, levels=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(v["batch_stats"])
+    new = jax.tree_util.tree_leaves(upd["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_dama_output_dict(rng):
+    x = jnp.asarray(rng.standard_normal((2, 224, 224, 3)).astype(np.float32))
+    m = DAMA(arch=ARCH, dim=128)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(m.apply)(v, x)
+    assert set(out) == {"fused", "space", "freq"}
+    for k in out:
+        assert out[k].shape == (2, 128)
+        assert np.isfinite(np.asarray(out[k])).all()
+
+
+CFG = ModelConfig(compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    model, variables = init_detector(CFG, jax.random.PRNGKey(0))
+    return model, variables
+
+
+@pytest.mark.parametrize("mode,extra_keys", [
+    ("dynamic", {"fused", "space", "freq"}),
+    ("sfe_only", {"model"}),
+    ("sfe_mwt", {"sfe", "mwt", "model"}),
+])
+def test_video_forward_modes(detector, rng, mode, extra_keys):
+    model, variables = detector
+    x = jnp.asarray(rng.standard_normal((2, 4, 224, 224, 3)).astype(np.float32))
+    out, updates = video_forward(model, variables, x, mode=mode,
+                                 frame_chunk=2, train=False)
+    assert out["logits"].shape == (2, 1)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    assert extra_keys <= set(out)
+    assert updates is None
+
+
+def test_video_forward_chunk_invariance_with_padding(detector, rng):
+    """K=3 with chunk=2 (ragged, padded+masked) == chunk=1 == chunk=3."""
+    model, variables = detector
+    x = jnp.asarray(rng.standard_normal((1, 3, 224, 224, 3)).astype(np.float32))
+    outs = [
+        video_forward(model, variables, x, mode="dynamic",
+                      frame_chunk=c, train=False, remat=False)[0]
+        for c in (1, 2, 3)
+    ]
+    for k in ("logits", "fused"):
+        np.testing.assert_allclose(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(outs[0][k]), np.asarray(outs[2][k]), atol=1e-5)
+
+
+def test_video_forward_train_updates_batch_stats(detector, rng):
+    model, variables = detector
+    x = jnp.asarray(rng.standard_normal((1, 2, 224, 224, 3)).astype(np.float32))
+    out, updates = video_forward(model, variables, x, mode="dynamic",
+                                 frame_chunk=2, train=True,
+                                 rng=jax.random.PRNGKey(1))
+    assert updates is not None and "batch_stats" in updates
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert np.isfinite(np.asarray(out["logits"])).all()
