@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Evaluate a trained detector: FF++ (overall + per-method), Celeb-DF, diffusion.
+
+CLI-compatible rebuild of the reference eval harness
+(/root/reference/eval.py:30-58 flags; :210-433 structure): overall pass, then
+per-forgery-method loop for FF++ (5 methods, eval.py:228, :245-261), CSV +
+confusion-matrix JSON export (:263-298), optional visualization (:300-321),
+Celeb-DF (:324-365) and diffusion per-method (:366-433) branches.
+
+Divergences (reference bugs fixed, SURVEY.md §7): ``--dim`` is a real flag
+(commented out at eval.py:40-41 yet used at :224 — the reference CLI crashes);
+orth loss recorded once per batch (not twice, eval.py:157-158/:168-169).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import random
+
+import numpy as np
+
+FF_METHODS = ["Deepfakes", "Face2Face", "FaceSwap", "NeuralTextures",
+              "FaceShifter"]
+DIFFUSION_METHODS = ["DDPM", "DDIM", "LDM"]
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate Deepfake Detector (TPU)")
+    p.add_argument("--root", "--r", type=str, default="/path/to/dataset")
+    p.add_argument("--model-path", "--mp", type=str, required=True)
+    p.add_argument("--output", "--o", type=str, default="./output/eval")
+    p.add_argument("--batch-size", "--bs", type=int, default=8)
+    p.add_argument("--dim", "--d", type=int, default=128)
+    p.add_argument("--frame-count", "--fc", type=int, default=300)
+    p.add_argument("--dataset", "--ds", type=str, default="ff++",
+                   choices=["ff++", "celeb-df", "diffusion"])
+    p.add_argument("--test-list", "--tl", type=str,
+                   default="Celeb-DF-v2/List_of_testing_videos.txt")
+    p.add_argument("--ablation", "-a", type=str, default="dynamic",
+                   choices=["dynamic", "sfe_only", "sfe_mwt"])
+    p.add_argument("--visualize", "--v", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--frame-chunk", type=int, default=16)
+    p.add_argument("--num-workers", type=int, default=4)
+    return p.parse_args()
+
+
+def _row(name, m):
+    return {
+        "name": name, "loss": m.get("loss"), "accuracy": m["accuracy"],
+        "auc": m["auc"], "eer": m["eer"], "ap": m["ap"],
+        "precision": m["precision"], "recall": m["recall"], "f1": m["f1"],
+    }
+
+
+def _export(output, rows, confusions):
+    os.makedirs(output, exist_ok=True)
+    csv_path = os.path.join(output, "eval_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    with open(os.path.join(output, "confusion_matrices.json"), "w") as f:
+        json.dump(confusions, f, indent=2)
+    print(f"Saved results to {csv_path}")
+
+
+def main():
+    args = parse_args()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.evaluation import (
+        evaluate, get_dataloader, load_model, print_metrics,
+    )
+
+    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    model, variables = load_model(args.model_path, cfg)
+    ev = dict(mode=args.ablation, frame_chunk=args.frame_chunk,
+              compute_dtype=cfg.compute_dtype)
+
+    rows, confusions = [], {}
+
+    if args.dataset == "ff++":
+        loader, _ = get_dataloader(
+            args.root, "ff++", batch_size=args.batch_size,
+            frame_count=args.frame_count, num_workers=args.num_workers)
+        m = evaluate(model, variables, loader, **ev)
+        print_metrics("FF++ overall", m)
+        rows.append(_row("overall", m))
+        confusions["overall"] = m["confusion_matrix"]
+        for method in FF_METHODS:  # per-method loop (eval.py:245-261)
+            loader, _ = get_dataloader(
+                args.root, "ff++", batch_size=args.batch_size,
+                frame_count=args.frame_count, single_method=method,
+                num_workers=args.num_workers)
+            mm = evaluate(model, variables, loader, **ev)
+            print_metrics(method, mm)
+            rows.append(_row(method, mm))
+            confusions[method] = mm["confusion_matrix"]
+        last = m
+    elif args.dataset == "celeb-df":
+        test_list = (args.test_list if os.path.isabs(args.test_list)
+                     else os.path.join(args.root, args.test_list))
+        loader, _ = get_dataloader(
+            args.root, "celeb-df", batch_size=args.batch_size,
+            frame_count=args.frame_count, test_list=test_list,
+            num_workers=args.num_workers)
+        m = evaluate(model, variables, loader, **ev)
+        print_metrics("Celeb-DF-v2", m)
+        rows.append(_row("celeb-df", m))
+        confusions["celeb-df"] = m["confusion_matrix"]
+        last = m
+    else:  # diffusion: per-method DDPM/DDIM/LDM (eval.py:366-433)
+        last = None
+        for method in [None] + DIFFUSION_METHODS:
+            loader, _ = get_dataloader(
+                args.root, "diffusion", batch_size=args.batch_size,
+                single_method=method, num_workers=args.num_workers)
+            name = method or "all"
+            m = evaluate(model, variables, loader, **ev)
+            print_metrics(f"diffusion/{name}", m)
+            rows.append(_row(name, m))
+            confusions[name] = m["confusion_matrix"]
+            last = last or m
+
+    _export(args.output, rows, confusions)
+
+    if args.visualize and last is not None:
+        from ewvit_tpu.utils.visualization import EvalVisualization
+
+        viz = EvalVisualization(args.output)
+        viz.confusion(last["confusion_matrix"])
+        viz.roc(last["labels"], last["preds"])
+        viz.precision_recall(last["labels"], last["preds"])
+        viz.prediction_distribution(last["labels"], last["preds"])
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,7 @@ class DeepfakeDetector(nn.Module):
             return {"logits": logits, "fused": feats["fused"],
                     "space": feats["space"], "freq": feats["freq"]}
         if mode == "sfe_only":
-            return {"logits": feats["logits"], "model": "sfe_only"}
+            return {"logits": feats["logits"]}
         if mode == "sfe_mwt":
             combined = jnp.concatenate([feats["sfe"], feats["mwt"]], axis=-1)
             g = nn.relu(self.fusion_gate_fc(combined))
@@ -113,8 +113,7 @@ class DeepfakeDetector(nn.Module):
             gate = nn.softmax(g.astype(jnp.float32), axis=-1).astype(g.dtype)
             fused = (feats["sfe"] * gate[:, 0:1] + feats["mwt"] * gate[:, 1:2])
             logits = self._classify(fused, train)
-            return {"logits": logits, "sfe": feats["sfe"], "mwt": feats["mwt"],
-                    "model": "sfe_mwt"}
+            return {"logits": logits, "sfe": feats["sfe"], "mwt": feats["mwt"]}
         raise ValueError(f"Invalid ablation config: {mode}.")
 
     def __call__(self, x, train: bool = False):
@@ -242,6 +241,10 @@ def video_forward(
     outputs = model.apply(
         head_vars, means, mode, train,
         method=DeepfakeDetector.head, rngs=head_rngs)
+    # Divergence: the reference tags non-dynamic outputs with a 'model'
+    # string (model.py:116-117, :160). Strings aren't JAX types and cannot
+    # cross a jit boundary; callers already know the (static) mode they
+    # passed, so the tag is dropped.
     updates = {"batch_stats": bstats} if (train and bstats0 is not None) else None
     return outputs, updates
 

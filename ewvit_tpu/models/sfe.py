@@ -89,13 +89,21 @@ class EfficientViT(nn.Module):
             dropout=a.dropout, dtype=self.dtype, name="transformer",
         )(x, deterministic=not train)
 
-        if self.output_mode == "cls":
-            h = nn.Dense(a.mlp_dim, dtype=self.dtype, name="mlp_head_fc1")(x[:, 0])
-            h = nn.relu(h)
-            return nn.Dense(a.num_classes, dtype=self.dtype, name="mlp_head_fc2")(h)
+        # BOTH heads are materialized regardless of output_mode — the torch
+        # reference creates mlp_head AND feat_map unconditionally
+        # (sfe.py:135-145), so checkpoints carry both. XLA dead-code
+        # eliminates the unused branch at compile time (its result is never
+        # returned), so this costs parameters only, not FLOPs.
+        h = nn.Dense(a.mlp_dim, dtype=self.dtype, name="mlp_head_fc1")(x[:, 0])
+        cls_out = nn.Dense(a.num_classes, dtype=self.dtype,
+                           name="mlp_head_fc2")(nn.relu(h))
 
         tokens = x[:, 1:]                       # [N, num_patches, dim]
         f = nn.Dense(self.feat_dim, dtype=self.dtype, name="feat_map")(tokens)
         f = nn.relu(f)
         side = int(round(tokens.shape[1] ** 0.5))
-        return f.reshape(n, side, side, self.feat_dim)  # NHWC feature map
+        feat_out = f.reshape(n, side, side, self.feat_dim)  # NHWC feature map
+
+        if self.output_mode == "cls":
+            return cls_out
+        return feat_out

@@ -1,0 +1,218 @@
+"""High-level training loop: epochs, curriculum, metrics, checkpoints.
+
+Library form of the reference train entry point (/root/reference/train.py:93-345)
+rebuilt around compiled steps:
+
+- the per-batch eager loop + ``loss.backward()`` every batch and
+  ``optimizer.step()`` every ``accum_steps`` (train.py:108-115) becomes ONE
+  jitted :func:`ewvit_tpu.train.steps.train_step` consuming ``accum_steps``
+  micro-batches (identical math, one XLA program);
+- curriculum refresh per epoch (train.py:290-291 → data_loader.py:229);
+- cosine LR is folded into the optimizer schedule (train.py:274, :300);
+- best-AUC + per-epoch checkpoints via Orbax (train.py:306-319) with working
+  resume (reference bug fixed: start_epoch actually skips epochs);
+- host metrics via sklearn on collected sigmoid predictions (train.py:121-135).
+
+The loop is platform-agnostic: on a TPU mesh, pass ``sharding``/``mesh`` so
+batches are distributed (params replicated; XLA inserts the gradient psum).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ewvit_tpu.configs import ModelConfig, TrainConfig
+from ewvit_tpu.models.detector import init_detector
+from ewvit_tpu.ops.preprocess import preprocess_batch
+from ewvit_tpu.train.checkpoint import CheckpointManager
+from ewvit_tpu.train.optimizer import make_optimizer
+from ewvit_tpu.train.steps import TrainState, create_train_state, eval_step, train_step
+from ewvit_tpu.utils.metrics import binary_metrics
+
+
+@dataclasses.dataclass
+class EpochResult:
+    loss: float
+    cls_loss: float
+    orth_loss: float
+    metrics: Dict[str, Any]
+    seconds: float
+
+
+class Trainer:
+    """Owns model/state/optimizer; runs train/val epochs over BatchLoaders."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        *,
+        mode: str = "dynamic",
+        pos_weight: float = 1.0,
+        steps_per_epoch: int = 1,
+        checkpoint_dir: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+        log: Callable[[str], None] = print,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mode = mode
+        self.pos_weight = float(pos_weight)
+        self.log = log
+        rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.model, variables = init_detector(model_cfg, init_rng)
+        self.tx = make_optimizer(
+            variables["params"],
+            lr=train_cfg.lr, weight_decay=train_cfg.weight_decay,
+            epochs=train_cfg.epochs, steps_per_epoch=max(1, steps_per_epoch),
+            eta_min=train_cfg.lr_min)
+        self.state, _ = create_train_state(variables, self.tx)
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.start_epoch = 0
+        self.best_val_auc = 0.0
+        self._steps_per_epoch = max(1, steps_per_epoch)
+
+    # ----- checkpointing ---------------------------------------------------
+
+    def resume(self, path: str) -> None:
+        assert self.ckpt is not None, "checkpoint_dir not configured"
+        self.state, self.start_epoch, self.best_val_auc = self.ckpt.restore(
+            path, self.state)
+        self.log(f"Resumed from {path}: start_epoch={self.start_epoch} "
+                 f"best_val_auc={self.best_val_auc:.4f}")
+
+    # ----- single epochs ---------------------------------------------------
+
+    def _prep(self, frames: np.ndarray, train: bool) -> jax.Array:
+        """uint8 host batch -> normalized device batch in compute dtype."""
+        self.rng, key = jax.random.split(self.rng)
+        return preprocess_batch(
+            jnp.asarray(frames), key, train=train,
+            dtype_name=self.model_cfg.compute_dtype)
+
+    def train_epoch(self, loader, epoch: int) -> EpochResult:
+        cfg = self.train_cfg
+        t0 = time.time()
+        losses, cls_losses, orth_losses = [], [], []
+        accum: list = []
+
+        def flush(group):
+            frames = np.concatenate([b[0] for b in group])
+            labels = np.concatenate([b[1] for b in group])
+            x = self._prep(frames, train=True)
+            self.rng, key = jax.random.split(self.rng)
+            self.state, metrics = train_step(
+                self.state, x, jnp.asarray(labels, jnp.float32), key,
+                model=self.model, tx=self.tx, mode=self.mode,
+                frame_chunk=self.model_cfg.frame_chunk,
+                accum_steps=len(group), pos_weight=self.pos_weight,
+                epoch=epoch, max_epochs=cfg.epochs)
+            losses.append(float(metrics["loss"]))
+            cls_losses.append(float(metrics["cls_loss"]))
+            orth_losses.append(float(metrics["orth_loss"]))
+
+        for batch in loader:
+            accum.append(batch)
+            if len(accum) == cfg.accum_steps:
+                flush(accum)
+                accum = []
+        if accum:  # tail flush (train.py:125-127)
+            flush(accum)
+
+        return EpochResult(
+            loss=float(np.mean(losses)) if losses else float("nan"),
+            cls_loss=float(np.mean(cls_losses)) if cls_losses else float("nan"),
+            orth_loss=float(np.mean(orth_losses)) if orth_losses else float("nan"),
+            metrics={},
+            seconds=time.time() - t0,
+        )
+
+    def eval_epoch(self, loader, epoch: Optional[int] = None,
+                   max_epochs: Optional[int] = None) -> EpochResult:
+        t0 = time.time()
+        losses = []
+        preds, labels = [], []
+        for frames, lbls in loader:
+            x = self._prep(frames, train=False)
+            out = eval_step(
+                self.state.params, self.state.batch_stats, x,
+                jnp.asarray(lbls, jnp.float32),
+                model=self.model, mode=self.mode,
+                frame_chunk=self.model_cfg.frame_chunk,
+                pos_weight=self.pos_weight,
+                epoch=epoch if epoch is not None else 1,
+                max_epochs=max_epochs if max_epochs is not None else 1)
+            losses.append(float(out["loss"]))
+            preds.extend(np.asarray(out["preds"]).tolist())
+            labels.extend(np.asarray(lbls).tolist())
+        m = binary_metrics(labels, preds,
+                           loss=float(np.mean(losses)) if losses else None)
+        m["preds"] = preds
+        m["labels"] = labels
+        return EpochResult(
+            loss=m.get("loss", float("nan")), cls_loss=float("nan"),
+            orth_loss=float("nan"), metrics=m, seconds=time.time() - t0)
+
+    # ----- full fit --------------------------------------------------------
+
+    def fit(self, train_loader, val_loader, *, train_dataset=None,
+            val_dataset=None, viz=None) -> Dict[str, Any]:
+        cfg = self.train_cfg
+        history = []
+        for epoch in range(self.start_epoch, cfg.epochs):
+            # curriculum refresh (train.py:290-291)
+            if train_dataset is not None and hasattr(
+                    train_dataset, "update_sampling_strategy"):
+                train_dataset.update_sampling_strategy(epoch, cfg.epochs)
+            if val_dataset is not None and hasattr(
+                    val_dataset, "update_sampling_strategy"):
+                val_dataset.update_sampling_strategy(epoch, cfg.epochs)
+
+            tr = self.train_epoch(train_loader, epoch)
+            va = self.eval_epoch(val_loader, epoch=epoch, max_epochs=cfg.epochs)
+            val_auc = va.metrics.get("auc", float("nan"))
+            lr = float(self._current_lr())
+            self.log(
+                f"Epoch {epoch + 1}/{cfg.epochs}: train_loss={tr.loss:.4f} "
+                f"(cls {tr.cls_loss:.4f} orth {tr.orth_loss:.4f}) "
+                f"val_loss={va.loss:.4f} val_auc={val_auc:.4f} "
+                f"val_acc={va.metrics.get('accuracy', float('nan')):.4f} "
+                f"lr={lr:.2e} [{tr.seconds:.1f}s+{va.seconds:.1f}s]")
+
+            if viz is not None:
+                viz.update(
+                    train_loss=tr.loss, train_cls_loss=tr.cls_loss,
+                    train_orth_loss=tr.orth_loss, val_loss=va.loss,
+                    val_acc=va.metrics.get("accuracy"),
+                    val_auc=val_auc, lr=lr,
+                    epoch_time=tr.seconds + va.seconds)
+
+            if self.ckpt is not None:
+                if np.isfinite(val_auc) and val_auc > self.best_val_auc:
+                    self.best_val_auc = float(val_auc)
+                    self.ckpt.save_best(self.state, epoch, self.best_val_auc)
+                self.ckpt.save_epoch(self.state, epoch, self.best_val_auc)
+
+            history.append({"epoch": epoch, "train": dataclasses.asdict(tr),
+                            "val": {k: v for k, v in va.metrics.items()
+                                    if k not in ("preds", "labels",
+                                                 "confusion_matrix")}})
+        if viz is not None:
+            viz.render_all()
+        return {"history": history, "best_val_auc": self.best_val_auc}
+
+    def _current_lr(self) -> float:
+        from ewvit_tpu.train.optimizer import cosine_annealing_schedule
+
+        sched = cosine_annealing_schedule(
+            self.train_cfg.lr, self.train_cfg.epochs,
+            self._steps_per_epoch, self.train_cfg.lr_min)
+        return float(sched(int(self.state.step)))

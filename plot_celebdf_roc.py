@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Overlay ROC curves of multiple checkpoints / baselines on Celeb-DF test.
+
+Rebuild of the reference comparison tool
+(/root/reference/utils/plot_celebdf_roc.py:15-192): evaluates N model
+checkpoints on the Celeb-DF-v2 test split (video-level, or per-frame with
+``--per-frame`` ≙ :31-72) and overlays their ROC curves. The reference's
+hard import of a gitignored Xception package (:13) becomes a pluggable
+baseline interface: ``--baseline-scores name=path.csv`` overlays any
+externally-computed (label, score) CSV — Xception or otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Celeb-DF ROC comparison across checkpoints")
+    p.add_argument("--root", "--r", type=str, required=True)
+    p.add_argument("--model-paths", "--mp", nargs="+", required=True,
+                   help="name=checkpoint_path pairs (or bare paths)")
+    p.add_argument("--test-list", "--tl", type=str,
+                   default="Celeb-DF-v2/List_of_testing_videos.txt")
+    p.add_argument("--output", "--o", type=str, default="./output/roc")
+    p.add_argument("--batch-size", "--bs", type=int, default=8)
+    p.add_argument("--frame-count", "--fc", type=int, default=30)
+    p.add_argument("--dim", "--d", type=int, default=128)
+    p.add_argument("--per-frame", action="store_true",
+                   help="score every frame independently (K=1 clips)")
+    p.add_argument("--baseline-scores", nargs="*", default=[],
+                   help="name=csv pairs with label,score columns")
+    p.add_argument("--num-workers", type=int, default=4)
+    return p.parse_args()
+
+
+def _load_baseline_csv(path: str):
+    labels, scores = [], []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            labels.append(int(float(row["label"])))
+            scores.append(float(row["score"]))
+    return labels, scores
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.output, exist_ok=True)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import auc as sk_auc, roc_curve
+
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.evaluation import evaluate, get_dataloader, load_model
+
+    test_list = (args.test_list if os.path.isabs(args.test_list)
+                 else os.path.join(args.root, args.test_list))
+    frame_count = 1 if args.per_frame else args.frame_count
+    # one loader shared across models (≙ dataloader caching at :124-144)
+    loader, ds = get_dataloader(
+        args.root, "celeb-df", batch_size=args.batch_size,
+        frame_count=frame_count, test_list=test_list,
+        num_workers=args.num_workers)
+    print(f"Celeb-DF test: {len(ds)} videos (per_frame={args.per_frame})")
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    results = {}
+    for spec in args.model_paths:
+        name, _, path = spec.rpartition("=")
+        name = name or os.path.basename(path.rstrip("/"))
+        cfg = ModelConfig(dama_dim=args.dim)
+        model, variables = load_model(path, cfg)
+        m = evaluate(model, variables, loader,
+                     frame_chunk=min(16, frame_count))
+        fpr, tpr, _ = roc_curve(m["labels"], m["preds"])
+        a = sk_auc(fpr, tpr)
+        ax.plot(fpr, tpr, label=f"{name} (AUC={a:.4f})")
+        results[name] = a
+        print(f"  {name}: AUC={a:.4f} EER={m['eer']:.4f}")
+
+    for spec in args.baseline_scores:
+        name, _, path = spec.rpartition("=")
+        labels, scores = _load_baseline_csv(path)
+        fpr, tpr, _ = roc_curve(labels, scores)
+        a = sk_auc(fpr, tpr)
+        ax.plot(fpr, tpr, "--", label=f"{name} (AUC={a:.4f})")
+        results[name] = a
+
+    ax.plot([0, 1], [0, 1], "k:", lw=0.8)
+    ax.set_xlabel("False positive rate")
+    ax.set_ylabel("True positive rate")
+    mode = "per-frame" if args.per_frame else "video-level"
+    ax.set_title(f"Celeb-DF-v2 ROC ({mode})")
+    ax.legend(loc="lower right")
+    fig.tight_layout()
+    out = os.path.join(args.output, "celebdf_roc_comparison.png")
+    fig.savefig(out, dpi=120)
+    print(f"Saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Inference latency / throughput benchmark for the detector.
+
+CLI-compatible rebuild of the reference latency harness
+(/root/reference/test.py:16-28 flags; :30-113 procedure): load weights (or run
+fresh-initialized with ``--weights none``), count parameters, random
+[B, K, 224, 224, 3] input, warmup runs, timed runs bracketed by device sync —
+``jax.block_until_ready`` replacing ``torch.cuda.synchronize`` (test.py:86-95)
+— reporting avg ms per video batch and frames/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Benchmark DeepfakeDetector inference time (TPU)")
+    p.add_argument("--weights", type=str, default="none",
+                   help="Checkpoint path, or 'none' for fresh init")
+    p.add_argument("--batch-size", "--bs", type=int, default=1)
+    p.add_argument("--frame-count", "--fc", type=int, default=30)
+    p.add_argument("--dim", "--d", type=int, default=128)
+    p.add_argument("--runs", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--mode", type=str, default="dynamic",
+                   choices=["dynamic", "sfe_only", "sfe_mwt"])
+    p.add_argument("--frame-chunk", type=int, default=30)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.evaluation import load_model
+    from ewvit_tpu.models.detector import video_forward
+
+    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    weights = None if args.weights in ("none", "") else args.weights
+    model, variables = load_model(weights, cfg)
+
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"Parameters: {n_params / 1e6:.2f}M")
+    print(f"Device: {jax.devices()[0]}")
+
+    size = cfg.arch.image_size
+    clip = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (args.batch_size, args.frame_count, size, size, 3),
+        jnp.dtype(cfg.compute_dtype))
+
+    def forward(variables, clip):
+        out, _ = video_forward(
+            model, variables, clip, mode=args.mode,
+            frame_chunk=min(args.frame_chunk, args.frame_count),
+            train=False, remat=False)
+        return out["logits"]
+
+    fwd = jax.jit(forward)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fwd(variables, clip))
+    print(f"Compile + first run: {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(fwd(variables, clip))
+
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        jax.block_until_ready(fwd(variables, clip))
+    dt = time.perf_counter() - t0
+
+    avg_ms = dt / args.runs * 1000
+    fps = args.batch_size * args.frame_count * args.runs / dt
+    print(f"Average inference time: {avg_ms:.2f} ms "
+          f"({args.batch_size}x{args.frame_count} frames @ {size}px)")
+    print(f"Throughput: {fps:.1f} frames/sec")
+
+
+if __name__ == "__main__":
+    main()

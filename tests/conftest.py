@@ -1,20 +1,16 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
-Tests must exercise multi-chip sharding without TPU hardware (SURVEY.md §4),
-so we pin JAX to CPU with 8 virtual devices BEFORE jax initializes. Benchmarks
-(bench.py / test.py) run on the real chip and do not import this conftest.
+Tests must exercise multi-chip sharding without TPU hardware (SURVEY.md §4)
+and must NOT compete with benchmarks for the single real chip. The session's
+sitecustomize imports jax at interpreter start (so JAX_PLATFORMS/XLA_FLAGS env
+overrides are too late), but backends initialize lazily — jax.config.update
+still wins as long as it runs before the first computation.
 """
 
-import os
+import jax
 
-# Force-override: the session environment pins JAX_PLATFORMS=axon (the real
-# TPU tunnel); tests must NOT compete for the single chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

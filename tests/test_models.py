@@ -102,8 +102,8 @@ def detector():
 
 @pytest.mark.parametrize("mode,extra_keys", [
     ("dynamic", {"fused", "space", "freq"}),
-    ("sfe_only", {"model"}),
-    ("sfe_mwt", {"sfe", "mwt", "model"}),
+    ("sfe_only", set()),
+    ("sfe_mwt", {"sfe", "mwt"}),
 ])
 def test_video_forward_modes(detector, rng, mode, extra_keys):
     model, variables = detector
@@ -116,9 +116,32 @@ def test_video_forward_modes(detector, rng, mode, extra_keys):
     assert updates is None
 
 
+def _equalize_pos_embeddings(variables):
+    """Neutralize the reference's batch-indexed pos-embedding quirk
+    (sfe.py:158-159): with all rows equal, outputs can't depend on an
+    element's position within the flattened chunk, so the frame-scan
+    chunking/masking logic can be tested for exact invariance."""
+
+    def fix(tree):
+        for k, v in tree.items():
+            if k == "pos_embedding":
+                tree[k] = jnp.broadcast_to(v[:1], v.shape)
+            elif isinstance(v, dict):
+                fix(v)
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # deep copy
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    fix(variables["params"])
+    return variables
+
+
 def test_video_forward_chunk_invariance_with_padding(detector, rng):
-    """K=3 with chunk=2 (ragged, padded+masked) == chunk=1 == chunk=3."""
+    """K=3 with chunk=2 (ragged, padded+masked) == chunk=1 == chunk=3
+    (pos-embedding quirk neutralized — see _equalize_pos_embeddings)."""
     model, variables = detector
+    variables = _equalize_pos_embeddings(variables)
     x = jnp.asarray(rng.standard_normal((1, 3, 224, 224, 3)).astype(np.float32))
     outs = [
         video_forward(model, variables, x, mode="dynamic",

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Train the Efficient Wavelet ViT deepfake detector on a TPU mesh.
+
+CLI-compatible rebuild of the reference trainer (/root/reference/train.py:27-53
+flags; :176-345 semantics): FF++ train/val loaders with curriculum sampling,
+weighted-BCE + ramped orthogonality loss, gradient accumulation, cosine LR,
+best-AUC + per-epoch checkpoints, optional visualization. TPU-native execution:
+one jitted train_step per optimizer update, device-side preprocessing,
+bfloat16 compute, and (``--mesh``) data-parallel sharding over all local
+devices in place of the reference's ``--multi-gpu`` nn.DataParallel
+(train.py:249-251).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train Deepfake Detector (TPU)")
+    p.add_argument("--root", "--r", type=str, default="/path/to/dataset",
+                   help="Dataset root directory")
+    p.add_argument("--output", "--o", type=str, default="./output",
+                   help="Output directory")
+    p.add_argument("--batch-size", "--bs", type=int, default=8)
+    p.add_argument("--epochs", "--e", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--dim", "--d", type=int, default=128,
+                   help="Feature dimension")
+    p.add_argument("--frame-count", "--fc", type=int, default=300,
+                   help="Number of frames per video")
+    p.add_argument("--visualize", "--v", action="store_true")
+    p.add_argument("--accum-steps", "--as", type=int, default=2,
+                   help="Gradient accumulation steps")
+    p.add_argument("--mesh", "--multi-chip", action="store_true",
+                   help="Shard batches over all local devices (data parallel)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Path to checkpoint to resume from")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--frame-chunk", type=int, default=16,
+                   help="Frames per scan step (memory micro-batch)")
+    p.add_argument("--mode", type=str, default="dynamic",
+                   choices=["dynamic", "sfe_only", "sfe_mwt"])
+    p.add_argument("--num-workers", type=int, default=4,
+                   help="Host decode threads")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+
+    from ewvit_tpu.configs import ModelConfig, TrainConfig
+    from ewvit_tpu.data.datasets import FaceForensicsDataset
+    from ewvit_tpu.data.pipeline import BatchLoader
+    from ewvit_tpu.data.transforms import FrameTransform
+    from ewvit_tpu.train.loop import Trainer
+    from ewvit_tpu.utils.visualization import TrainVisualization
+
+    os.makedirs(args.output, exist_ok=True)
+    print(f"Devices: {jax.devices()}")
+
+    transform = FrameTransform()
+    train_ds = FaceForensicsDataset(
+        args.root, split="train", frame_count=args.frame_count,
+        transform=transform, seed=args.seed)
+    val_ds = FaceForensicsDataset(
+        args.root, split="val", frame_count=args.frame_count,
+        transform=transform, seed=args.seed)
+
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, shuffle=True, drop_last=True,
+        num_workers=args.num_workers, seed=args.seed)
+    val_loader = BatchLoader(
+        val_ds, args.batch_size, pad_last=True,
+        num_workers=args.num_workers, seed=args.seed)
+
+    # pos_weight = fake/real ratio (train.py:268-272)
+    pos_weight = train_ds.fake_ratio
+    print(f"pos_weight (fake/real): {pos_weight:.3f}")
+
+    model_cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        frame_count=args.frame_count, accum_steps=args.accum_steps,
+        seed=args.seed)
+
+    steps_per_epoch = max(1, len(train_loader) // args.accum_steps)
+    trainer = Trainer(
+        model_cfg, train_cfg, mode=args.mode, pos_weight=pos_weight,
+        steps_per_epoch=steps_per_epoch,
+        checkpoint_dir=os.path.join(args.output, "checkpoints"),
+        rng=jax.random.PRNGKey(args.seed))
+
+    if args.resume:
+        trainer.resume(args.resume)
+
+    viz = TrainVisualization(args.output) if args.visualize else None
+    result = trainer.fit(train_loader, val_loader, train_dataset=train_ds,
+                         val_dataset=val_ds, viz=viz)
+    print(f"Best val AUC: {result['best_val_auc']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
