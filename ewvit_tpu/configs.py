@@ -101,6 +101,22 @@ class ModelConfig:
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def tiny(cls) -> "ModelConfig":
+        """Small-but-real config: every module and branch, tiny shapes.
+
+        patch_size 2 folds the 2x2 backbone map at 64px into ONE patch,
+        preserving the reference's 1-token invariant (sfe.py:121) that
+        DAMA's cross-attention relies on. Used by tests and the driver's
+        multichip dryrun.
+        """
+        arch = ArchConfig(
+            image_size=64, patch_size=2, dim=64, depth=1, dim_head=16,
+            heads=2, mlp_dim=64, emb_dim=64, dropout=0.1, emb_dropout=0.1,
+        )
+        return cls(arch=arch, dama_dim=32, num_heads=2, levels=2,
+                   frame_chunk=2, compute_dtype="float32")
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

@@ -80,10 +80,22 @@ def _frame_files(frames_dir: str) -> List[str]:
 
 
 class VideoFrameDataset:
-    """Shared frame-reading machinery for the video datasets."""
+    """Shared frame-reading machinery for the video datasets.
+
+    Two decode paths:
+    - cv2 + ``transform`` per frame (reference-parity; supports face align);
+    - ``native_decode=True``: the whole clip decodes through the C++ frameio
+      pool (ewvit_tpu.data.native) into one contiguous buffer — GIL-free,
+      scales with host cores. Geometry = center-square crop_frac(=224/450)
+      + bilinear resize, i.e. the reference transform chain with face
+      detection disabled — use for pre-cropped-face frame dumps.
+    """
 
     frame_count: int
     transform: Optional[Transform]
+    native_decode: bool = False
+    native_out_size: int = 224
+    native_crop_frac: float = 224.0 / 450.0
 
     def _load_clip(self, frames_dir: str) -> np.ndarray:
         """Read ``frame_count`` uniformly-spaced frames as [T, H, W, 3] uint8."""
@@ -91,6 +103,13 @@ class VideoFrameDataset:
         if not files:
             raise FileNotFoundError(f"No frames found in '{frames_dir}'")
         sel = [files[i] for i in _uniform_indices(len(files), self.frame_count)]
+        if self.native_decode:
+            from ewvit_tpu.data import native
+
+            if native.available():
+                frames, _ok = native.decode_batch(
+                    sel, self.native_out_size, self.native_crop_frac)
+                return frames
         frames = []
         for path in sel:
             img = _read_image_rgb(path)
@@ -127,11 +146,13 @@ class FaceForensicsDataset(VideoFrameDataset):
         methods: Sequence[str] = FF_METHODS,
         single_method: Optional[str] = None,
         seed: int = 0,
+        native_decode: bool = False,
     ):
         self.root = root
         self.split = split
         self.frame_count = frame_count
         self.transform = transform
+        self.native_decode = native_decode
         self.compression = compression
         self.methods = list(methods)
         self.single_method = single_method
@@ -315,11 +336,13 @@ class CelebDFDataset(VideoFrameDataset):
 
     def __init__(self, root: str, split: Sequence[str] = ("train", "test"),
                  frame_count: int = 24, transform: Optional[Transform] = None,
-                 testing_file: Optional[str] = None):
+                 testing_file: Optional[str] = None,
+                 native_decode: bool = False):
         self.root = root
         self.split = list(split)
         self.frame_count = frame_count
         self.transform = transform
+        self.native_decode = native_decode
         self.testing_file = testing_file
         self.real_videos, self.synthetic_videos = self._load_frames_dirs()
 
