@@ -38,6 +38,7 @@ class DAMA(nn.Module):
     num_heads: int = 4
     levels: int = 3
     use_pallas_dwt: bool = False
+    use_pallas_dama: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -66,6 +67,7 @@ class DAMA(nn.Module):
         cross = BidirectionalCrossTransformer(
             dim=self.dim, depth=2, heads=self.num_heads,
             dim_head=self.dim // self.num_heads, dropout=0.1,
+            use_fused=self.use_pallas_dama,
             dtype=self.dtype, name="cross_att",
         )
         if return_intermediates:

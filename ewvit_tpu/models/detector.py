@@ -55,7 +55,8 @@ class DeepfakeDetector(nn.Module):
         self.dama = DAMA(
             arch=c.arch, in_channels=c.in_channels, dim=c.dama_dim,
             num_heads=c.num_heads, levels=c.levels,
-            use_pallas_dwt=c.use_pallas_dwt, dtype=dt,
+            use_pallas_dwt=c.use_pallas_dwt,
+            use_pallas_dama=c.use_pallas_dama, dtype=dt,
         )
         self.mwt = MWT(
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,

@@ -151,12 +151,66 @@ class CrossAttention(nn.Module):
         return out
 
 
+class _DenseShell(nn.Module):
+    """Declares nn.Dense-shaped params without applying them (fused path)."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.dout,), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
+class _NormShell(nn.Module):
+    """Declares nn.LayerNorm-shaped params without applying them."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _AttShell(nn.Module):
+    """Declares CrossAttention's param tree (to_q/to_kv/to_out) unapplied."""
+
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        qk, _ = _DenseShell(self.dim, self.inner, use_bias=False,
+                            name="to_q")()
+        kvk, _ = _DenseShell(self.dim, self.inner * 2, use_bias=False,
+                             name="to_kv")()
+        ok, ob = _DenseShell(self.inner, self.dim, use_bias=True,
+                             name="to_out")()
+        return {"to_q": {"kernel": qk}, "to_kv": {"kernel": kvk},
+                "to_out": {"kernel": ok, "bias": ob}}
+
+
 class BidirectionalCrossTransformer(nn.Module):
     """Stacked bidirectional cross-attention (dama.py:56-78).
 
     Per layer: space += CA(LN(space), freq); then freq += CA(LN(freq),
     *updated* space) — the second direction sees the first's output
     (dama.py:72-76). Both directions use kv_include_self=True.
+
+    ``use_fused=True`` routes the whole stack through the single Pallas
+    kernel (ewvit_tpu.ops.fused_attention) when the configuration supports
+    it (deterministic, 1 token per branch, lane-aligned dim); the param tree
+    is identical in both paths, so checkpoints are interchangeable.
     """
 
     dim: int
@@ -164,11 +218,22 @@ class BidirectionalCrossTransformer(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, space_tokens, freq_tokens, *, deterministic: bool = True,
                  return_attn: bool = False):
+        inner = self.dim_head * self.heads
+        n, t, d = space_tokens.shape
+
+        if self.use_fused and not return_attn and inner == d:
+            from ewvit_tpu.ops.fused_attention import supports
+
+            if supports(d, t, deterministic):
+                return self._fused(space_tokens, freq_tokens, inner)
+
+        # ----- unfused XLA path (params created inline, canonical names) ---
         attns = []
         for i in range(self.depth):
             s_norm = nn.LayerNorm(dtype=self.dtype, name=f"space_norm_{i}")(space_tokens)
@@ -195,3 +260,30 @@ class BidirectionalCrossTransformer(nn.Module):
         if return_attn:
             return space_tokens, freq_tokens, attns
         return space_tokens, freq_tokens
+
+    def _fused(self, space_tokens, freq_tokens, inner: int):
+        """Pallas path: declare the identical param tree via shell modules
+        (same names/shapes/inits as the unfused Dense/LayerNorm children, so
+        checkpoints are interchangeable), then run the single fused kernel."""
+        from ewvit_tpu.ops.fused_attention import (
+            fused_bidirectional_cross_attention,
+            params_from_module_tree,
+        )
+
+        tree = {}
+        for i in range(self.depth):
+            for norm in (f"space_norm_{i}", f"freq_norm_{i}"):
+                s, b = _NormShell(self.dim, name=norm)()
+                tree[norm] = {"scale": s, "bias": b}
+            for att in (f"space_attend_freq_{i}", f"freq_attend_space_{i}"):
+                tree[att] = _AttShell(self.dim, inner, name=att)()
+        flat = params_from_module_tree(tree, self.depth)
+        import jax
+
+        so, fo = fused_bidirectional_cross_attention(
+            space_tokens[:, 0, :], freq_tokens[:, 0, :], flat,
+            depth=self.depth, heads=self.heads,
+            interpret=jax.default_backend() != "tpu")
+        return (so[:, None, :].astype(space_tokens.dtype),
+                fo[:, None, :].astype(freq_tokens.dtype))
+

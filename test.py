@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--mode", type=str, default="dynamic",
                    choices=["dynamic", "sfe_only", "sfe_mwt"])
     p.add_argument("--frame-chunk", type=int, default=30)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of 5 runs "
+                        "into DIR (view with tensorboard/xprof)")
     return p.parse_args()
 
 
@@ -73,6 +76,13 @@ def main():
 
     for _ in range(args.warmup):
         jax.block_until_ready(fwd(variables, clip))
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(5):
+                r = fwd(variables, clip)
+            jax.block_until_ready(r)
+        print(f"Profiler trace written to {args.profile}")
 
     t0 = time.perf_counter()
     for _ in range(args.runs):
