@@ -1,10 +1,15 @@
 """Headline benchmark: flagship inference throughput (frames/sec/chip).
 
 TPU-native equivalent of the reference latency harness
-(/root/reference/test.py:30-113): random [B, K, 3, 224, 224] input, warmup,
-timed runs bracketed by device sync — here ``jax.block_until_ready`` instead
-of ``torch.cuda.synchronize``. The flagship path is DeepfakeDetector 'dynamic'
-(full DAMA: V2-S EfficientViT + MWT + cross-attention fusion) in bfloat16.
+(/root/reference/test.py:30-113): random video batch, warmup, timed runs.
+
+Methodology: a SERIAL DEPENDENCY CHAIN with one device->host pull at the end,
+timed at two chain lengths; throughput comes from the SLOPE
+((T(n2)-T(n1))/(n2-n1)). This is robust to async runtimes where
+``block_until_ready`` returns before remote execution completes (observed
+through the axon TPU tunnel: per-call block timings implied >600 TFLOP/s,
+above v5e peak — the slope method gives physically consistent numbers and
+subtracts the fixed D2H pull latency).
 
 Prints ONE JSON line:
   {"metric": "inference_throughput", "value": N, "unit": "frames/sec",
@@ -22,17 +27,17 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Persistent XLA compile cache: the first bench run pays ~minutes of compile,
 # subsequent runs (and the driver's end-of-round run) hit the disk cache.
 jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 2          # flattened chunk = BATCH * FRAME_CHUNK <= emb_dim (64)
-FRAMES = 30        # reference test.py default K (test.py:20-23)
-FRAME_CHUNK = 30
-WARMUP = 5
-RUNS = 30
+BATCH = 2
+FRAMES = 32        # flattened chunk = BATCH * FRAMES = 64 == emb_dim cap
+FRAME_CHUNK = 32
+N_SHORT, N_LONG = 4, 24
 NORTH_STAR_FPS = 5000.0
 
 
@@ -44,26 +49,31 @@ def main() -> int:
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
 
     size = cfg.arch.image_size
-    clip = jax.random.normal(
+    base = jax.random.normal(
         jax.random.PRNGKey(1), (BATCH, FRAMES, size, size, 3),
         jnp.dtype(cfg.compute_dtype))
 
-    def forward(variables, clip):
-        outputs, _ = video_forward(
-            model, variables, clip, mode="dynamic",
-            frame_chunk=FRAME_CHUNK, train=False, remat=False)
-        return outputs["logits"]
+    fwd = jax.jit(lambda v, c: video_forward(
+        model, v, c, mode="dynamic", frame_chunk=FRAME_CHUNK,
+        train=False, remat=False)[0]["logits"])
 
-    fwd = jax.jit(forward)
-    for _ in range(WARMUP):
-        jax.block_until_ready(fwd(variables, clip))
+    def chain(n: int) -> float:
+        """n serially-dependent forwards + ONE host pull; returns seconds."""
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            clip = base + acc.astype(base.dtype)   # serial dependency
+            acc = acc + fwd(variables, clip).astype(jnp.float32).sum() * 1e-9
+        float(np.asarray(acc))                      # forces full completion
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(RUNS):
-        jax.block_until_ready(fwd(variables, clip))
-    dt = time.perf_counter() - t0
+    chain(1)          # compile forward + chain graph + pull path
+    chain(N_SHORT)    # warm
+    t_short = min(chain(N_SHORT) for _ in range(2))
+    t_long = min(chain(N_LONG) for _ in range(2))
+    per_call = (t_long - t_short) / (N_LONG - N_SHORT)
+    frames_per_sec = BATCH * FRAMES / per_call
 
-    frames_per_sec = BATCH * FRAMES * RUNS / dt
     print(json.dumps({
         "metric": "inference_throughput",
         "value": round(frames_per_sec, 2),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ewvit_tpu.ops.haar import haar_dwt2d, haar_dwt2d_pallas
+from ewvit_tpu.ops.haar import haar_dwt2d_conv, haar_dwt2d_pallas
 
 Dtype = Any
 
@@ -61,7 +61,10 @@ class MWT(nn.Module):
     def _dwt(self, x):
         if self.use_pallas_dwt:
             return haar_dwt2d_pallas(x)
-        return haar_dwt2d(x)
+        # conv formulation: forward AND backward are stride-2 convs on the
+        # MXU; the strided-slice butterfly's gradient lowers to scatters
+        # (~20x slower backward, measured on v5e — see ops/haar.py)
+        return haar_dwt2d_conv(x)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, return_intermediates: bool = False):

@@ -69,13 +69,12 @@ def main():
             train=False, remat=False)
         return out["logits"]
 
+    import numpy as np
+
     fwd = jax.jit(forward)
     t0 = time.perf_counter()
     jax.block_until_ready(fwd(variables, clip))
     print(f"Compile + first run: {time.perf_counter() - t0:.1f}s")
-
-    for _ in range(args.warmup):
-        jax.block_until_ready(fwd(variables, clip))
 
     if args.profile:
         with jax.profiler.trace(args.profile):
@@ -84,13 +83,28 @@ def main():
             jax.block_until_ready(r)
         print(f"Profiler trace written to {args.profile}")
 
-    t0 = time.perf_counter()
-    for _ in range(args.runs):
-        jax.block_until_ready(fwd(variables, clip))
-    dt = time.perf_counter() - t0
+    # Serial-dependency chain + single host pull, timed at two lengths; the
+    # slope is the per-call device time. Robust to runtimes where
+    # block_until_ready returns before remote completion (see bench.py).
+    def chain(n: int) -> float:
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = clip + acc.astype(clip.dtype)
+            acc = acc + fwd(variables, c).astype(jnp.float32).sum() * 1e-9
+        float(np.asarray(acc))
+        return time.perf_counter() - t0
 
-    avg_ms = dt / args.runs * 1000
-    fps = args.batch_size * args.frame_count * args.runs / dt
+    chain(1)
+    for _ in range(max(1, args.warmup // 5)):
+        chain(2)
+    n_short, n_long = max(2, args.runs // 10), args.runs
+    t_short = min(chain(n_short) for _ in range(2))
+    t_long = min(chain(n_long) for _ in range(2))
+    per_call = (t_long - t_short) / (n_long - n_short)
+
+    avg_ms = per_call * 1000
+    fps = args.batch_size * args.frame_count / per_call
     print(f"Average inference time: {avg_ms:.2f} ms "
           f"({args.batch_size}x{args.frame_count} frames @ {size}px)")
     print(f"Throughput: {fps:.1f} frames/sec")
