@@ -231,8 +231,14 @@ def video_forward(
         }
         return (bstats, sums), None
 
-    (bstats, sums), _ = jax.lax.scan(
-        body, (bstats0, sums0), (frames, mask, keys))
+    if n_chunks == 1:
+        # Single chunk: skip the scan machinery (loop staging + carried
+        # buffers cost real time when the whole clip fits one chunk).
+        (bstats, sums), _ = body((bstats0, sums0),
+                                 (frames[0], mask[0], keys[0]))
+    else:
+        (bstats, sums), _ = jax.lax.scan(
+            body, (bstats0, sums0), (frames, mask, keys))
     means = {kk: (v / k).astype(_dtype_of(cfg)) for kk, v in sums.items()}
 
     head_vars = dict(params)
