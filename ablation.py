@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--frame-chunk", type=int, default=16)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
@@ -44,6 +46,10 @@ def main():
     args = parse_args()
     random.seed(args.seed)
     np.random.seed(args.seed)
+
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     import jax
     import matplotlib
@@ -62,7 +68,14 @@ def main():
         args.output, time.strftime("%Y%m%d_%H%M%S"))
     os.makedirs(out_dir, exist_ok=True)
 
-    transform = FrameTransform()
+    if args.tiny:
+        model_cfg = ModelConfig.tiny()
+    else:
+        model_cfg = ModelConfig(dama_dim=args.dim,
+                                frame_chunk=args.frame_chunk)
+    size = model_cfg.arch.image_size
+    transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
+                               crop=size)
     datasets = {
         split: FaceForensicsDataset(
             args.root, split=split, frame_count=args.frame_count,
@@ -79,7 +92,6 @@ def main():
                             num_workers=args.num_workers),
     }
 
-    model_cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
     # Reference ablation trains with plain BCE and NO extras
     # (ablation.py:352, no accum / orth / curriculum).
     train_cfg = TrainConfig(

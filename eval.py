@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--frame-chunk", type=int, default=16)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
@@ -73,14 +75,25 @@ def main():
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.data.transforms import FrameTransform
     from ewvit_tpu.evaluation import (
         evaluate, get_dataloader, load_model, print_metrics,
     )
 
-    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    if args.tiny:
+        cfg = ModelConfig.tiny()
+    else:
+        cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    size = cfg.arch.image_size
+    transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
+                               crop=size)
     model, variables = load_model(args.model_path, cfg)
-    ev = dict(mode=args.ablation, frame_chunk=args.frame_chunk,
+    ev = dict(mode=args.ablation, frame_chunk=cfg.frame_chunk,
               compute_dtype=cfg.compute_dtype)
 
     rows, confusions = [], {}
@@ -88,7 +101,8 @@ def main():
     if args.dataset == "ff++":
         loader, _ = get_dataloader(
             args.root, "ff++", batch_size=args.batch_size,
-            frame_count=args.frame_count, num_workers=args.num_workers)
+            frame_count=args.frame_count, num_workers=args.num_workers,
+            transform=transform)
         m = evaluate(model, variables, loader, **ev)
         print_metrics("FF++ overall", m)
         rows.append(_row("overall", m))
@@ -97,7 +111,7 @@ def main():
             loader, _ = get_dataloader(
                 args.root, "ff++", batch_size=args.batch_size,
                 frame_count=args.frame_count, single_method=method,
-                num_workers=args.num_workers)
+                num_workers=args.num_workers, transform=transform)
             mm = evaluate(model, variables, loader, **ev)
             print_metrics(method, mm)
             rows.append(_row(method, mm))
@@ -109,7 +123,7 @@ def main():
         loader, _ = get_dataloader(
             args.root, "celeb-df", batch_size=args.batch_size,
             frame_count=args.frame_count, test_list=test_list,
-            num_workers=args.num_workers)
+            num_workers=args.num_workers, transform=transform)
         m = evaluate(model, variables, loader, **ev)
         print_metrics("Celeb-DF-v2", m)
         rows.append(_row("celeb-df", m))
@@ -120,7 +134,8 @@ def main():
         for method in [None] + DIFFUSION_METHODS:
             loader, _ = get_dataloader(
                 args.root, "diffusion", batch_size=args.batch_size,
-                single_method=method, num_workers=args.num_workers)
+                single_method=method, num_workers=args.num_workers,
+                transform=transform)
             name = method or "all"
             m = evaluate(model, variables, loader, **ev)
             print_metrics(f"diffusion/{name}", m)

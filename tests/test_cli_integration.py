@@ -1,0 +1,94 @@
+"""End-to-end CLI integration on a synthetic FF++ fixture (subprocesses).
+
+Drives the actual entry points the way a user would:
+  train.py --tiny  ->  checkpoints + history
+  eval.py  --tiny  ->  eval_results.csv + confusion_matrices.json
+Processes are pinned to CPU via EWVIT_PLATFORM (tests must not touch the
+real chip).
+"""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+pytestmark = pytest.mark.skipif(cv2 is None, reason="cv2 required")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+METHODS = ["Deepfakes", "Face2Face", "FaceSwap", "NeuralTextures",
+           "FaceShifter"]
+
+
+@pytest.fixture(scope="module")
+def ff_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ffpp_cli")
+    base = root / "faceforensics" / "ff++"
+    pairs = [[f"{i:03d}", f"{i + 100:03d}"] for i in range(4)]
+    os.makedirs(base / "splits")
+    for split in ("train", "val", "test"):
+        with open(base / "splits" / f"{split}.json", "w") as f:
+            json.dump(pairs, f)
+    rng = np.random.default_rng(0)
+
+    def frames(d):
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            cv2.imwrite(os.path.join(d, f"{i:03d}.png"),
+                        rng.integers(0, 255, (64, 64, 3), np.uint8))
+
+    for t, _ in pairs:
+        frames(str(base / "frames" / "original" / t))
+    for m in METHODS:
+        for t, s in pairs:
+            frames(str(base / "frames" / m / f"{t}_{s}"))
+    return str(root)
+
+
+def _run(script, *argv, timeout=1500):
+    env = dict(os.environ, EWVIT_PLATFORM="cpu", EWVIT_CPU_DEVICES="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *argv],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+    assert r.returncode == 0, (
+        f"{script} failed:\nSTDOUT:\n{r.stdout[-3000:]}\n"
+        f"STDERR:\n{r.stderr[-3000:]}")
+    return r.stdout
+
+
+def test_train_then_eval(ff_root, tmp_path):
+    out = str(tmp_path / "run")
+    stdout = _run(
+        "train.py", "--tiny", "--root", ff_root, "--output", out,
+        "--epochs", "2", "--batch-size", "4", "--frame-count", "2",
+        "--accum-steps", "1", "--num-workers", "0")
+    assert "Best val AUC" in stdout
+    ckpts = os.listdir(os.path.join(out, "checkpoints"))
+    assert "checkpoint_1" in ckpts and "checkpoint_2" in ckpts
+
+    eval_out = str(tmp_path / "eval")
+    stdout = _run(
+        "eval.py", "--tiny", "--root", ff_root,
+        "--model-path", os.path.join(out, "checkpoints", "checkpoint_2"),
+        "--output", eval_out, "--batch-size", "4", "--frame-count", "2",
+        "--num-workers", "0")
+    assert "FF++ overall" in stdout
+    with open(os.path.join(eval_out, "eval_results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    # overall + 5 per-method rows (eval.py:245-261 parity)
+    assert [r["name"] for r in rows] == ["overall"] + METHODS
+    for r in rows:
+        assert 0.0 <= float(r["accuracy"]) <= 1.0
+    with open(os.path.join(eval_out, "confusion_matrices.json")) as f:
+        conf = json.load(f)
+    assert set(conf) == {"overall", *METHODS}
+    cm = np.asarray(conf["overall"])
+    assert cm.sum() == 8  # 4 real + 4 fake test videos

@@ -47,6 +47,8 @@ def parse_args():
                    choices=["dynamic", "sfe_only", "sfe_mwt"])
     p.add_argument("--num-workers", type=int, default=4,
                    help="Host decode threads")
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
@@ -54,6 +56,10 @@ def main():
     args = parse_args()
     random.seed(args.seed)
     np.random.seed(args.seed)
+
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     import jax
 
@@ -67,7 +73,14 @@ def main():
     os.makedirs(args.output, exist_ok=True)
     print(f"Devices: {jax.devices()}")
 
-    transform = FrameTransform()
+    if args.tiny:
+        model_cfg = ModelConfig.tiny()
+    else:
+        model_cfg = ModelConfig(dama_dim=args.dim,
+                                frame_chunk=args.frame_chunk)
+    size = model_cfg.arch.image_size
+    transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
+                               crop=size)
     train_ds = FaceForensicsDataset(
         args.root, split="train", frame_count=args.frame_count,
         transform=transform, seed=args.seed)
@@ -86,7 +99,6 @@ def main():
     pos_weight = train_ds.fake_ratio
     print(f"pos_weight (fake/real): {pos_weight:.3f}")
 
-    model_cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         frame_count=args.frame_count, accum_steps=args.accum_steps,
