@@ -58,6 +58,7 @@ class Trainer:
         steps_per_epoch: int = 1,
         checkpoint_dir: Optional[str] = None,
         rng: Optional[jax.Array] = None,
+        mesh=None,
         log: Callable[[str], None] = print,
     ):
         self.model_cfg = model_cfg
@@ -74,6 +75,15 @@ class Trainer:
             epochs=train_cfg.epochs, steps_per_epoch=max(1, steps_per_epoch),
             eta_min=train_cfg.lr_min)
         self.state, _ = create_train_state(variables, self.tx)
+        # Data parallelism (replaces the reference's nn.DataParallel,
+        # train.py:249-251): params/opt state replicated over the mesh,
+        # batches sharded on the 'data' axis; XLA GSPMD inserts the gradient
+        # all-reduce over ICI.
+        self.mesh = mesh
+        if mesh is not None:
+            from ewvit_tpu.parallel.mesh import replicate_tree
+
+            self.state = TrainState(*replicate_tree(mesh, tuple(self.state)))
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
         self.start_epoch = 0
@@ -91,26 +101,38 @@ class Trainer:
 
     # ----- single epochs ---------------------------------------------------
 
-    def _prep(self, frames: np.ndarray, train: bool) -> jax.Array:
-        """uint8 host batch -> normalized device batch in compute dtype."""
+    def _prep(self, frames: np.ndarray, train: bool,
+              labels: Optional[np.ndarray] = None):
+        """uint8 host batch -> normalized (sharded) device batch."""
         self.rng, key = jax.random.split(self.rng)
-        return preprocess_batch(
-            jnp.asarray(frames), key, train=train,
-            dtype_name=self.model_cfg.compute_dtype)
+        x = jnp.asarray(frames)
+        lb = (jnp.asarray(labels, jnp.float32)
+              if labels is not None else None)
+        if self.mesh is not None:
+            from ewvit_tpu.parallel.mesh import batch_sharding, label_sharding
+
+            x = jax.device_put(x, batch_sharding(self.mesh, frame_axis=False))
+            if lb is not None:
+                lb = jax.device_put(lb, label_sharding(self.mesh))
+        x = preprocess_batch(x, key, train=train,
+                             dtype_name=self.model_cfg.compute_dtype)
+        return x if lb is None else (x, lb)
 
     def train_epoch(self, loader, epoch: int) -> EpochResult:
         cfg = self.train_cfg
         t0 = time.time()
         losses, cls_losses, orth_losses = [], [], []
+        all_preds: list = []
+        all_labels: list = []
         accum: list = []
 
         def flush(group):
             frames = np.concatenate([b[0] for b in group])
             labels = np.concatenate([b[1] for b in group])
-            x = self._prep(frames, train=True)
+            x, lb = self._prep(frames, train=True, labels=labels)
             self.rng, key = jax.random.split(self.rng)
             self.state, metrics = train_step(
-                self.state, x, jnp.asarray(labels, jnp.float32), key,
+                self.state, x, lb, key,
                 model=self.model, tx=self.tx, mode=self.mode,
                 frame_chunk=self.model_cfg.frame_chunk,
                 accum_steps=len(group), pos_weight=self.pos_weight,
@@ -118,6 +140,8 @@ class Trainer:
             losses.append(float(metrics["loss"]))
             cls_losses.append(float(metrics["cls_loss"]))
             orth_losses.append(float(metrics["orth_loss"]))
+            all_preds.extend(np.asarray(metrics["preds"]).tolist())
+            all_labels.extend(labels.tolist())
 
         for batch in loader:
             accum.append(batch)
@@ -127,11 +151,14 @@ class Trainer:
         if accum:  # tail flush (train.py:125-127)
             flush(accum)
 
+        # epoch-level train metrics from the training forward's predictions
+        # (train.py:121-135 parity)
+        m = (binary_metrics(all_labels, all_preds) if all_labels else {})
         return EpochResult(
             loss=float(np.mean(losses)) if losses else float("nan"),
             cls_loss=float(np.mean(cls_losses)) if cls_losses else float("nan"),
             orth_loss=float(np.mean(orth_losses)) if orth_losses else float("nan"),
-            metrics={},
+            metrics=m,
             seconds=time.time() - t0,
         )
 
@@ -140,19 +167,26 @@ class Trainer:
         t0 = time.time()
         losses = []
         preds, labels = [], []
+        # pad_last loaders zero-pad the ragged tail batch; trim those rows so
+        # padded samples never enter the metrics
+        remaining = (len(loader.dataset)
+                     if hasattr(loader, "dataset") else None)
         for frames, lbls in loader:
-            x = self._prep(frames, train=False)
+            x, lb = self._prep(frames, train=False, labels=lbls)
             out = eval_step(
-                self.state.params, self.state.batch_stats, x,
-                jnp.asarray(lbls, jnp.float32),
+                self.state.params, self.state.batch_stats, x, lb,
                 model=self.model, mode=self.mode,
                 frame_chunk=self.model_cfg.frame_chunk,
                 pos_weight=self.pos_weight,
                 epoch=epoch if epoch is not None else 1,
                 max_epochs=max_epochs if max_epochs is not None else 1)
             losses.append(float(out["loss"]))
-            preds.extend(np.asarray(out["preds"]).tolist())
-            labels.extend(np.asarray(lbls).tolist())
+            n = len(lbls)
+            if remaining is not None:
+                n = min(n, remaining)
+                remaining -= n
+            preds.extend(np.asarray(out["preds"])[:n].tolist())
+            labels.extend(np.asarray(lbls)[:n].tolist())
         m = binary_metrics(labels, preds,
                            loss=float(np.mean(losses)) if losses else None)
         m["preds"] = preds
@@ -191,6 +225,8 @@ class Trainer:
                 viz.update(
                     train_loss=tr.loss, train_cls_loss=tr.cls_loss,
                     train_orth_loss=tr.orth_loss, val_loss=va.loss,
+                    train_acc=tr.metrics.get("accuracy"),
+                    train_auc=tr.metrics.get("auc"),
                     val_acc=va.metrics.get("accuracy"),
                     val_auc=val_auc, lr=lr,
                     epoch_time=tr.seconds + va.seconds)

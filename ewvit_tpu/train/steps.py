@@ -90,17 +90,17 @@ def train_step(
     def micro(carry, xs):
         bstats, gsum, loss_sum, cls_sum, orth_sum = carry
         fr, lb, key = xs
-        (loss, (bstats, parts, _)), grads = grad_fn(
+        (loss, (bstats, parts, preds)), grads = grad_fn(
             state.params, bstats, model, fr, lb, mode=mode,
             frame_chunk=frame_chunk, pos_weight=pos_weight, epoch=epoch,
             max_epochs=max_epochs, rng=key, train=True)
         gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
         return (bstats, gsum, loss_sum + loss, cls_sum + parts["cls_loss"],
-                orth_sum + parts["orth_loss"]), None
+                orth_sum + parts["orth_loss"]), preds.reshape(-1)
 
     gzero = jax.tree_util.tree_map(
         lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
-    (bstats, gsum, loss_sum, cls_sum, orth_sum), _ = jax.lax.scan(
+    (bstats, gsum, loss_sum, cls_sum, orth_sum), preds = jax.lax.scan(
         micro,
         (state.batch_stats, gzero, jnp.zeros((), jnp.float32),
          jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
@@ -111,8 +111,10 @@ def train_step(
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(params, bstats, opt_state, state.step + 1)
+    # preds: training-forward sigmoid probs for epoch-level train metrics
+    # (the reference collects them from the same forward, train.py:121-123)
     metrics = {"loss": loss_sum / g, "cls_loss": cls_sum / g,
-               "orth_loss": orth_sum / g}
+               "orth_loss": orth_sum / g, "preds": preds.reshape(-1)}
     return new_state, metrics
 
 

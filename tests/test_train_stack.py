@@ -165,3 +165,21 @@ def test_trainer_fit_two_epochs(tmp_path):
                  checkpoint_dir=str(tmp_path / "ckpt"), log=lambda s: None)
     t2.resume(str(tmp_path / "ckpt" / "checkpoint_1"))
     assert t2.start_epoch == 1
+
+
+def test_trainer_with_data_parallel_mesh(tmp_path):
+    """Trainer over an 8-device CPU mesh (DP ≙ reference --multi-gpu)."""
+    from ewvit_tpu.data.pipeline import BatchLoader
+    from ewvit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()  # all 8 virtual devices on 'data'
+    assert mesh.shape["data"] == 8
+    ds = _SyntheticDataset(n=8)
+    loader = BatchLoader(ds, batch_size=8, num_workers=0)
+    tcfg = TrainConfig(batch_size=8, epochs=1, accum_steps=1, frame_count=4)
+    trainer = Trainer(CFG, tcfg, pos_weight=1.0, steps_per_epoch=1,
+                      mesh=mesh, log=lambda s: None)
+    result = trainer.fit(loader, loader)
+    h = result["history"][0]
+    assert np.isfinite(h["train"]["loss"])
+    assert np.isfinite(h["val"]["accuracy"])

@@ -104,12 +104,21 @@ def main():
         frame_count=args.frame_count, accum_steps=args.accum_steps,
         seed=args.seed)
 
+    mesh = None
+    if args.mesh:
+        from ewvit_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all local devices on the 'data' axis
+        assert (args.batch_size * args.accum_steps) % mesh.shape["data"] == 0, (
+            "global batch must divide the data-parallel axis")
+        print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
     steps_per_epoch = max(1, len(train_loader) // args.accum_steps)
     trainer = Trainer(
         model_cfg, train_cfg, mode=args.mode, pos_weight=pos_weight,
         steps_per_epoch=steps_per_epoch,
         checkpoint_dir=os.path.join(args.output, "checkpoints"),
-        rng=jax.random.PRNGKey(args.seed))
+        rng=jax.random.PRNGKey(args.seed), mesh=mesh)
 
     if args.resume:
         trainer.resume(args.resume)
