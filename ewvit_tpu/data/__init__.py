@@ -5,5 +5,6 @@ from ewvit_tpu.data.datasets import (  # noqa: F401
     DiffusionDataset,
     FaceForensicsDataset,
 )
-from ewvit_tpu.data.pipeline import BatchLoader  # noqa: F401
+from ewvit_tpu.data.pipeline import BatchLoader, DevicePrefetcher  # noqa: F401
 from ewvit_tpu.data.transforms import FaceAligner, FrameTransform  # noqa: F401
+from ewvit_tpu.data import native  # noqa: F401
