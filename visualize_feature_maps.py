@@ -26,6 +26,8 @@ def parse_args():
                    help="Checkpoint (omit for fresh init)")
     p.add_argument("--output", default="./output/feature_maps")
     p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
@@ -36,7 +38,7 @@ def _overlay(img_u8: np.ndarray, heat: np.ndarray, path: str, title: str):
     import matplotlib.pyplot as plt
 
     heat = heat.astype(np.float32)
-    heat = (heat - heat.min()) / (heat.ptp() + 1e-8)
+    heat = (heat - heat.min()) / (np.ptp(heat) + 1e-8)
     fig, axes = plt.subplots(1, 2, figsize=(8, 4))
     axes[0].imshow(img_u8); axes[0].set_title("input"); axes[0].axis("off")
     axes[1].imshow(img_u8)
@@ -66,6 +68,10 @@ def main():
     args = parse_args()
     os.makedirs(args.output, exist_ok=True)
 
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import cv2
     import jax
     import jax.numpy as jnp
@@ -76,11 +82,14 @@ def main():
     from ewvit_tpu.models.dama import DAMA
     from ewvit_tpu.ops.preprocess import preprocess_batch
 
-    cfg = ModelConfig(dama_dim=args.dim)
+    cfg = (ModelConfig.tiny() if args.tiny
+           else ModelConfig(dama_dim=args.dim))
     model, variables = load_model(args.model_path, cfg)
 
+    size = cfg.arch.image_size
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
-    crop = FrameTransform()(img)  # [224, 224, 3] uint8
+    crop = FrameTransform(resize=max(1, round(size * 450 / 224)),
+                          crop=size)(img)  # [size, size, 3] uint8
     x = preprocess_batch(jnp.asarray(crop[None, None]), train=False,
                          dtype_name="float32")[:, 0]  # [1, 224, 224, 3]
 
