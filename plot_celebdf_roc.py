@@ -22,9 +22,12 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(
         description="Celeb-DF ROC comparison across checkpoints")
-    p.add_argument("--root", "--r", type=str, required=True)
-    p.add_argument("--model-paths", "--mp", nargs="+", required=True,
+    p.add_argument("--root", "--r", type=str, default=None,
+                   help="dataset root (required unless only baseline CSVs)")
+    p.add_argument("--model-paths", "--mp", nargs="*", default=[],
                    help="name=checkpoint_path pairs (or bare paths)")
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     p.add_argument("--test-list", "--tl", type=str,
                    default="Celeb-DF-v2/List_of_testing_videos.txt")
     p.add_argument("--output", "--o", type=str, default="./output/roc")
@@ -51,6 +54,12 @@ def _load_baseline_csv(path: str):
 def main():
     args = parse_args()
     os.makedirs(args.output, exist_ok=True)
+    if not args.model_paths and not args.baseline_scores:
+        raise SystemExit("provide --model-paths and/or --baseline-scores")
+
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     import matplotlib
 
@@ -58,33 +67,42 @@ def main():
     import matplotlib.pyplot as plt
     from sklearn.metrics import auc as sk_auc, roc_curve
 
-    from ewvit_tpu.configs import ModelConfig
-    from ewvit_tpu.evaluation import evaluate, get_dataloader, load_model
-
-    test_list = (args.test_list if os.path.isabs(args.test_list)
-                 else os.path.join(args.root, args.test_list))
-    frame_count = 1 if args.per_frame else args.frame_count
-    # one loader shared across models (≙ dataloader caching at :124-144)
-    loader, ds = get_dataloader(
-        args.root, "celeb-df", batch_size=args.batch_size,
-        frame_count=frame_count, test_list=test_list,
-        num_workers=args.num_workers)
-    print(f"Celeb-DF test: {len(ds)} videos (per_frame={args.per_frame})")
-
     fig, ax = plt.subplots(figsize=(7, 7))
     results = {}
-    for spec in args.model_paths:
-        name, _, path = spec.rpartition("=")
-        name = name or os.path.basename(path.rstrip("/"))
-        cfg = ModelConfig(dama_dim=args.dim)
-        model, variables = load_model(path, cfg)
-        m = evaluate(model, variables, loader,
-                     frame_chunk=min(16, frame_count))
-        fpr, tpr, _ = roc_curve(m["labels"], m["preds"])
-        a = sk_auc(fpr, tpr)
-        ax.plot(fpr, tpr, label=f"{name} (AUC={a:.4f})")
-        results[name] = a
-        print(f"  {name}: AUC={a:.4f} EER={m['eer']:.4f}")
+
+    if args.model_paths:
+        from ewvit_tpu.configs import ModelConfig
+        from ewvit_tpu.data.transforms import FrameTransform
+        from ewvit_tpu.evaluation import evaluate, get_dataloader, load_model
+
+        assert args.root, "--root is required with --model-paths"
+        cfg = (ModelConfig.tiny() if args.tiny
+               else ModelConfig(dama_dim=args.dim))
+        size = cfg.arch.image_size
+        transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
+                                   crop=size)
+        test_list = (args.test_list if os.path.isabs(args.test_list)
+                     else os.path.join(args.root, args.test_list))
+        frame_count = 1 if args.per_frame else args.frame_count
+        # one loader shared across models (≙ dataloader caching at :124-144)
+        loader, ds = get_dataloader(
+            args.root, "celeb-df", batch_size=args.batch_size,
+            frame_count=frame_count, test_list=test_list,
+            num_workers=args.num_workers, transform=transform)
+        print(f"Celeb-DF test: {len(ds)} videos (per_frame={args.per_frame})")
+
+        for spec in args.model_paths:
+            name, _, path = spec.rpartition("=")
+            name = name or os.path.basename(path.rstrip("/"))
+            model, variables = load_model(path, cfg)
+            m = evaluate(model, variables, loader,
+                         frame_chunk=min(cfg.frame_chunk, frame_count),
+                         compute_dtype=cfg.compute_dtype)
+            fpr, tpr, _ = roc_curve(m["labels"], m["preds"])
+            a = sk_auc(fpr, tpr)
+            ax.plot(fpr, tpr, label=f"{name} (AUC={a:.4f})")
+            results[name] = a
+            print(f"  {name}: AUC={a:.4f} EER={m['eer']:.4f}")
 
     for spec in args.baseline_scores:
         name, _, path = spec.rpartition("=")
