@@ -92,3 +92,76 @@ def test_train_then_eval(ff_root, tmp_path):
     assert set(conf) == {"overall", *METHODS}
     cm = np.asarray(conf["overall"])
     assert cm.sum() == 8  # 4 real + 4 fake test videos
+
+
+@pytest.fixture(scope="module")
+def celebdf_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("celebdf_cli")
+    rng = np.random.default_rng(1)
+
+    def frames(d):
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            cv2.imwrite(os.path.join(d, f"{i:03d}.png"),
+                        rng.integers(0, 255, (64, 64, 3), np.uint8))
+
+    for kind, ids in (("Celeb-real", ["id0_000", "id1_000"]),
+                      ("Celeb-synthesis", ["id0_id1_000", "id1_id0_000"])):
+        for v in ids:
+            frames(str(root / "celebdf" / "frames" / kind / v))
+    (root / "List_of_testing_videos.txt").write_text(
+        "1 Celeb-real/id0_000.mp4\n1 Celeb-real/id1_000.mp4\n"
+        "0 Celeb-synthesis/id0_id1_000.mp4\n"
+        "0 Celeb-synthesis/id1_id0_000.mp4\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def diffusion_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("diffusion_cli")
+    rng = np.random.default_rng(2)
+    for d, n in (("CelebA-Real", 3), ("DDPM", 2), ("DDIM", 2), ("LDM", 2)):
+        os.makedirs(root / d)
+        for i in range(n):
+            cv2.imwrite(str(root / d / f"{i}.png"),
+                        rng.integers(0, 255, (64, 64, 3), np.uint8))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(ff_root, tmp_path_factory):
+    """One 1-epoch training run shared by the cross-dataset eval tests."""
+    out = str(tmp_path_factory.mktemp("ckpt_run"))
+    _run("train.py", "--tiny", "--root", ff_root, "--output", out,
+         "--epochs", "1", "--batch-size", "4", "--frame-count", "2",
+         "--accum-steps", "1", "--num-workers", "0")
+    return os.path.join(out, "checkpoints", "checkpoint_1")
+
+
+def test_eval_celebdf_branch(celebdf_root, tiny_checkpoint, tmp_path):
+    out = str(tmp_path / "eval_cdf")
+    stdout = _run(
+        "eval.py", "--tiny", "--root", celebdf_root,
+        "--model-path", tiny_checkpoint, "--dataset", "celeb-df",
+        "--test-list", "List_of_testing_videos.txt",
+        "--output", out, "--batch-size", "4", "--frame-count", "2",
+        "--num-workers", "0")
+    assert "Celeb-DF-v2" in stdout
+    with open(os.path.join(out, "eval_results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["name"] == "celeb-df"
+    cm = np.asarray(json.load(
+        open(os.path.join(out, "confusion_matrices.json")))["celeb-df"])
+    assert cm.sum() == 4  # 2 real + 2 fake test videos
+
+
+def test_eval_diffusion_branch(diffusion_root, tiny_checkpoint, tmp_path):
+    out = str(tmp_path / "eval_diff")
+    stdout = _run(
+        "eval.py", "--tiny", "--root", diffusion_root,
+        "--model-path", tiny_checkpoint, "--dataset", "diffusion",
+        "--output", out, "--batch-size", "3", "--num-workers", "0")
+    assert "diffusion/all" in stdout and "diffusion/LDM" in stdout
+    with open(os.path.join(out, "eval_results.csv")) as f:
+        names = [r["name"] for r in csv.DictReader(f)]
+    assert names == ["all", "DDPM", "DDIM", "LDM"]
