@@ -183,3 +183,33 @@ def test_trainer_with_data_parallel_mesh(tmp_path):
     h = result["history"][0]
     assert np.isfinite(h["train"]["loss"])
     assert np.isfinite(h["val"]["accuracy"])
+
+
+def test_mesh_dcn_axis():
+    """Multi-slice ('dcn','data','frames') mesh: shapes, shardings, and a
+    sharded computation that matches the unsharded result (pod-scale DP —
+    beyond the reference's single-host nn.DataParallel, train.py:249-251)."""
+    import jax
+    import jax.numpy as jnp
+    from ewvit_tpu.parallel.mesh import (
+        batch_sharding, label_sharding, make_mesh, replicate_tree)
+
+    mesh = make_mesh(dcn=2, frames=2)  # 2 simulated slices x 2 chips x 2
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "frames": 2}
+
+    # default: dcn inferred (1 on CPU), rest on data
+    flat = make_mesh()
+    assert dict(flat.shape) == {"dcn": 1, "data": 8, "frames": 1}
+
+    x = jnp.arange(4 * 4 * 6, dtype=jnp.float32).reshape(4, 4, 6)
+    y = jnp.arange(4, dtype=jnp.float32)
+    xs = jax.device_put(x, batch_sharding(mesh, frame_axis=True))
+    ys = jax.device_put(y, label_sharding(mesh))
+    (w,) = replicate_tree(mesh, (jnp.full((6,), 2.0),))
+
+    @jax.jit
+    def f(x, y, w):  # batch reduce crosses both dcn and data axes
+        return jnp.mean(jnp.sum(x * w, axis=-1), axis=-1) @ y
+
+    np.testing.assert_allclose(np.asarray(f(xs, ys, w)),
+                               np.asarray(f(x, y, w)), rtol=1e-6)
