@@ -97,6 +97,8 @@ class ModelConfig:
     remat_frames: bool = True         # jax.checkpoint per frame chunk
     use_pallas_dwt: bool = False      # Pallas Haar kernel vs fused XLA path
     use_pallas_dama: bool = False     # fused Pallas DAMA attention block
+    use_fused_mwt_tail: bool = False  # Winograd MWT tail (inference only;
+                                      # exact in fp32 — ops/mwt_tail.py)
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

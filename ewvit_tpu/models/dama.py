@@ -39,6 +39,7 @@ class DAMA(nn.Module):
     levels: int = 3
     use_pallas_dwt: bool = False
     use_pallas_dama: bool = False
+    use_fused_mwt_tail: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -56,7 +57,9 @@ class DAMA(nn.Module):
         # frequency branch (dama.py:102)
         freq_feats = MWT(
             in_channels=self.in_channels, dama_dim=self.dim, levels=self.levels,
-            use_pallas_dwt=self.use_pallas_dwt, dtype=self.dtype, name="mwt",
+            use_pallas_dwt=self.use_pallas_dwt,
+            use_fused_tail=self.use_fused_mwt_tail, dtype=self.dtype,
+            name="mwt",
         )(frames, train=train)                       # [N, 1, 1, dim]
 
         h_out, w_out = space_feats.shape[1:3]

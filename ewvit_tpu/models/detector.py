@@ -56,11 +56,13 @@ class DeepfakeDetector(nn.Module):
             arch=c.arch, in_channels=c.in_channels, dim=c.dama_dim,
             num_heads=c.num_heads, levels=c.levels,
             use_pallas_dwt=c.use_pallas_dwt,
-            use_pallas_dama=c.use_pallas_dama, dtype=dt,
+            use_pallas_dama=c.use_pallas_dama,
+            use_fused_mwt_tail=c.use_fused_mwt_tail, dtype=dt,
         )
         self.mwt = MWT(
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
-            use_pallas_dwt=c.use_pallas_dwt, dtype=dt,
+            use_pallas_dwt=c.use_pallas_dwt,
+            use_fused_tail=c.use_fused_mwt_tail, dtype=dt,
         )
         self.sfe = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,

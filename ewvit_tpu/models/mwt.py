@@ -16,37 +16,116 @@ freq_conv (mwt.py:33-36) -> maxpool + stride-2 conv + GAP (mwt.py:38-44).
 Conv padding is torch-style symmetric ``(k-1)//2``; BN uses torch defaults
 (eps 1e-5, EMA decay 0.9). The DWT itself runs either as the fused XLA
 butterfly or the Pallas MXU matmul kernel (ops/haar.py).
+
+``use_fused_tail`` (inference only) replaces the hf_fusion -> concat ->
+multiscale_fusion -> freq_conv chain with the phase-split Winograd pipeline in
+ops/mwt_tail.py: hf_fusion becomes four exact stride-2 phase convs per level,
+multiscale_fusion runs as a VMEM-resident Pallas Winograd kernel (2.25x MAC
+cut on the model's FLOP-dominant conv), and freq_conv consumes the phase-split
+output directly. Same parameters, same math (exact in fp32; bf16 differs only
+by reassociation rounding).
 """
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ewvit_tpu.ops.haar import haar_dwt2d_conv, haar_dwt2d_pallas
+from ewvit_tpu.ops.mwt_tail import (
+    freq_from_phases,
+    fused_multiscale_winograd,
+    multiscale_winograd_u,
+    phase_conv_paddings,
+)
 
 Dtype = Any
 
 _SYM = lambda k: (((k - 1) // 2, (k - 1) // 2),) * 2  # noqa: E731
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters, named "conv" so the tree matches nn.Conv
+    (kernel [k,k,in,out] + bias [out]; torch_convert.py depends on this)."""
+
+    features: int
+    in_features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class _ConvBNRelu(nn.Module):
+    """conv3x3 + BN + ReLU with three call modes:
+
+    - default: stride-``stride`` SAME conv (the reference Sequential,
+      mwt.py:47-72) — numerically identical to the previous nn.Conv-based
+      implementation;
+    - ``phase=(p, q)``: the stride-2 phase conv emitting phase (p,q) of the
+      stride-1 output in the ops/mwt_tail.py layout (sized [A+1, B+1]);
+    - ``mode="tail_params"``: returns (kernel, conv_bias, bn_scale, bn_shift)
+      for BN folding into the Pallas kernel. The BN affine is extracted by
+      evaluating the (eval-mode) BN at 0 and 1 — exact up to one rounding.
+    - ``mode="from_phases"``: x is a tuple of 4 phase arrays; applies the
+      stride-2 conv via trimmed sub-convs (freq_conv consuming the Winograd
+      kernel's phase-split output).
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
+    in_features: Optional[int] = None  # required only for mode="tail_params"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=_SYM(self.kernel), dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
-        return nn.relu(x)
+    def __call__(self, x=None, *, train: bool = False, phase=None,
+                 mode: str = "apply"):
+        if mode == "tail_params" or phase is not None:
+            assert not train, "fused MWT tail is inference-only"
+        in_f = (self.in_features if x is None or mode == "from_phases"
+                else x.shape[-1])
+        kern, cbias = _ConvParams(self.features, in_f, self.kernel,
+                                  name="conv")()
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="bn")
+        if mode == "tail_params":
+            probe = jnp.zeros((1, 1, 1, self.features), self.dtype)
+            y0 = bn(probe)
+            y1 = bn(probe + 1)
+            scale = (y1 - y0).reshape(-1).astype(jnp.float32)
+            shift = y0.reshape(-1).astype(jnp.float32)
+            return kern, cbias, scale, shift
+
+        kern = kern.astype(self.dtype)
+        if mode == "from_phases":
+            y = freq_from_phases([p.astype(self.dtype) for p in x], kern)
+        else:
+            if phase is None:
+                strides, padding = (self.stride,) * 2, _SYM(self.kernel)
+            else:
+                strides, padding = (2, 2), phase_conv_paddings(*phase)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kern, strides, padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + cbias.astype(self.dtype)
+        y = bn(y)
+        return nn.relu(y)
+
+
+def _tail_tile_rows(a: int) -> int:
+    for r in (8, 7, 4, 2, 1):
+        if a % r == 0 and a >= 2 * r:  # kernel needs >= 2 row blocks
+            return r
+    return 1
 
 
 class MWT(nn.Module):
@@ -56,6 +135,7 @@ class MWT(nn.Module):
     dama_dim: int = 128
     levels: int = 3
     use_pallas_dwt: bool = False
+    use_fused_tail: bool = False
     dtype: Dtype = jnp.float32
 
     def _dwt(self, x):
@@ -80,9 +160,15 @@ class MWT(nn.Module):
             for i in range(3)
         ]
         hf_fusion = _ConvBNRelu(self.dama_dim, dtype=self.dtype, name="hf_fusion")
+        multiscale_fusion = _ConvBNRelu(
+            self.dama_dim, in_features=self.levels * self.dama_dim,
+            dtype=self.dtype, name="multiscale_fusion")
+        freq_conv = _ConvBNRelu(self.dama_dim, stride=2,
+                                in_features=self.dama_dim,
+                                dtype=self.dtype, name="freq_conv")
 
         current = x
-        high_freqs: List[jax.Array] = []
+        mergeds: List[jax.Array] = []
         for lvl in range(self.levels):
             ll, hf = self._dwt(current)
             if self.levels > 1 and hf.shape[1:3] != target:
@@ -95,18 +181,36 @@ class MWT(nn.Module):
                 # slice = all 3 orientations of input channel i (mwt.py:85)
                 sl = hf[..., i * c : (i + 1) * c]
                 processed.append(hf_sep[i](sl, train=train))
-            merged = jnp.concatenate(processed, axis=-1)  # 18*C channels
-            compressed = hf_fusion(merged, train=train)
-            high_freqs.append(compressed)
-            if return_intermediates and lvl == 0:
-                inter["hf_level0"] = compressed
+            mergeds.append(jnp.concatenate(processed, axis=-1))  # 18*C ch
             current = ll
 
-        multi = jnp.concatenate(high_freqs, axis=-1)
-        fused = _ConvBNRelu(self.dama_dim, dtype=self.dtype,
-                            name="multiscale_fusion")(multi, train=train)
-        freq = _ConvBNRelu(self.dama_dim, stride=2, dtype=self.dtype,
-                           name="freq_conv")(fused, train=train)
+        fused_tail = (self.use_fused_tail and not train
+                      and not return_intermediates
+                      and target[0] % 2 == 0 and target[1] % 2 == 0
+                      and target[0] // 2 >= 4)
+        if fused_tail:
+            # hf_fusion as 4 exact stride-2 phase convs per level (shared
+            # weights), feeding the VMEM-resident Winograd multiscale kernel;
+            # freq_conv consumes the phase-split result directly.
+            phases = [hf_fusion(m, train=False, phase=(p, q))
+                      for m in mergeds for p in (0, 1) for q in (0, 1)]
+            kern, cbias, scale, shift = multiscale_fusion(mode="tail_params")
+            u = multiscale_winograd_u(kern, scale, self.levels,
+                                      phases[0].dtype)
+            bias = cbias.astype(jnp.float32) * scale + shift
+            fused_ph = fused_multiscale_winograd(
+                phases, u, bias,
+                tile_rows=_tail_tile_rows(target[0] // 2),
+                interpret=jax.default_backend() != "tpu")
+            freq = freq_conv(tuple(fused_ph), train=False, mode="from_phases")
+        else:
+            high_freqs = [hf_fusion(m, train=train) for m in mergeds]
+            if return_intermediates:
+                inter["hf_level0"] = high_freqs[0]
+            multi = jnp.concatenate(high_freqs, axis=-1)
+            fused = multiscale_fusion(multi, train=train)
+            freq = freq_conv(fused, train=train)
+
         # freq_pool: MaxPool(2,2) -> stride-2 conv+BN+ReLU -> global avg pool
         freq = nn.max_pool(freq, (2, 2), strides=(2, 2))
         freq = _ConvBNRelu(self.dama_dim, stride=2, dtype=self.dtype,
