@@ -99,6 +99,8 @@ class ModelConfig:
     use_pallas_dama: bool = False     # fused Pallas DAMA attention block
     use_fused_mwt_tail: bool = False  # Winograd MWT tail (inference only;
                                       # exact in fp32 — ops/mwt_tail.py)
+    use_pallas_dwse: bool = False     # fused depthwise+BN+SiLU+SE-mean
+                                      # kernel (inference only — ops/dw_se.py)
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

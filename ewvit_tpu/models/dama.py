@@ -40,6 +40,7 @@ class DAMA(nn.Module):
     use_pallas_dwt: bool = False
     use_pallas_dama: bool = False
     use_fused_mwt_tail: bool = False
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -50,7 +51,8 @@ class DAMA(nn.Module):
         # spatial branch: V2-S EfficientViT with feature-map head (dama.py:93-99)
         space_feats = EfficientViT(
             arch=self.arch, channels=1280, selected_efficient_net=1,
-            feat_dim=self.dim, output_mode="feature_map", dtype=self.dtype,
+            feat_dim=self.dim, output_mode="feature_map",
+            use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
             name="sfe",
         )(frames, train=train)                       # [N, 1, 1, dim]
 

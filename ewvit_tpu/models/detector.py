@@ -57,7 +57,8 @@ class DeepfakeDetector(nn.Module):
             num_heads=c.num_heads, levels=c.levels,
             use_pallas_dwt=c.use_pallas_dwt,
             use_pallas_dama=c.use_pallas_dama,
-            use_fused_mwt_tail=c.use_fused_mwt_tail, dtype=dt,
+            use_fused_mwt_tail=c.use_fused_mwt_tail,
+            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
         )
         self.mwt = MWT(
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
@@ -66,11 +67,13 @@ class DeepfakeDetector(nn.Module):
         )
         self.sfe = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
-            feat_dim=c.dama_dim, output_mode="feature_map", dtype=dt,
+            feat_dim=c.dama_dim, output_mode="feature_map",
+            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
         )
         self.sfe_cls = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
-            feat_dim=c.dama_dim, output_mode="cls", dtype=dt,
+            feat_dim=c.dama_dim, output_mode="cls",
+            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
         )
         self.fusion_gate_fc = nn.Dense(2, dtype=dt)
         self.fusion_gate_drop = nn.Dropout(0.1)

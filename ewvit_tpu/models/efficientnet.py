@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ewvit_tpu.ops.dw_se import dw_bn_silu_mean
+
 Dtype = Any
 
 
@@ -75,8 +77,30 @@ def _pad_for(kernel: int, stride: int, tf_same: bool):
     return ((p, p), (p, p))
 
 
+class _Kernel(nn.Module):
+    """Bare conv kernel parameter, named "conv" so the param tree matches
+    nn.Conv(use_bias=False) exactly (utils/torch_convert.py keys on it)."""
+
+    features: int
+    in_features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features))
+
+
 class ConvBN(nn.Module):
-    """Conv + BatchNorm (+ optional SiLU). Layout NHWC, kernel HWIO."""
+    """Conv + BatchNorm (+ optional SiLU). Layout NHWC, kernel HWIO.
+
+    ``mode="params"`` (inference only; used by the fused Pallas depthwise+SE
+    path) returns ``(kernel_f32, bn_scale, bn_shift)`` without applying —
+    the BN affine extracted in f32 by probing the eval-mode BN at 0 and 1.
+    The default mode replicates nn.Conv's apply (dtype promotion +
+    lax.conv_general_dilated) so numerics are unchanged.
+    """
 
     features: int
     kernel: int = 3
@@ -89,17 +113,29 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=_pad_for(self.kernel, self.stride, self.tf_same),
+    def __call__(self, x=None, *, train: bool = False, mode: str = "apply"):
+        in_feats = (self.features if x is None else x.shape[-1])
+        kern = _Kernel(self.features, in_feats // self.groups, self.kernel,
+                       name="conv")()
+        if mode == "params":
+            assert not train, "ConvBN params mode is inference-only"
+            bn = nn.BatchNorm(use_running_average=True,
+                              momentum=self.bn_momentum, epsilon=self.bn_eps,
+                              dtype=jnp.float32, name="bn")
+            probe = jnp.zeros((1, 1, 1, self.features), jnp.float32)
+            y0 = bn(probe)
+            y1 = bn(probe + 1)
+            scale = (y1 - y0).reshape(-1)
+            shift = y0.reshape(-1)
+            return kern.astype(jnp.float32), scale, shift
+
+        x = x.astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, kern.astype(self.dtype),
+            (self.stride, self.stride),
+            _pad_for(self.kernel, self.stride, self.tf_same),
             feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -119,12 +155,17 @@ class SqueezeExcite(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mean=None):
         # Two-stage spatial mean (H then W): the single fused (1,2)-axis
         # reduce runs at ~half HBM peak on v5e (~108us for [64,14,14,960]);
-        # the staged reduce measured 1.44x faster (BASELINE.md).
-        s = jnp.mean(x, axis=1)
-        s = jnp.mean(s, axis=1)[:, None, None, :]
+        # the staged reduce measured 1.44x faster (BASELINE.md). When the
+        # fused Pallas depthwise kernel already produced the mean (ops/
+        # dw_se.py), it is passed in and the reduce pass disappears.
+        if mean is not None:
+            s = mean.astype(x.dtype)
+        else:
+            s = jnp.mean(x, axis=1)
+            s = jnp.mean(s, axis=1)[:, None, None, :]
         s = nn.Conv(self.squeeze_ch, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = nn.silu(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
@@ -157,6 +198,7 @@ class MBConv(nn.Module):
     drop_rate: float
     tf_same: bool
     bn_momentum: float
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -167,12 +209,28 @@ class MBConv(nn.Module):
             x = ConvBN(expanded, 1, 1, tf_same=self.tf_same,
                        bn_momentum=self.bn_momentum, dtype=self.dtype,
                        name="expand_conv")(x, train=train)
-        x = ConvBN(expanded, self.kernel, self.stride, groups=expanded,
-                   tf_same=self.tf_same, bn_momentum=self.bn_momentum,
-                   dtype=self.dtype, name="depthwise")(x, train=train)
-        if self.se_ratio > 0:
+        dw = ConvBN(expanded, self.kernel, self.stride, groups=expanded,
+                    tf_same=self.tf_same, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="depthwise")
+        fuse_dwse = (self.use_pallas_dwse and not train
+                     and self.stride == 1 and self.se_ratio > 0)
+        if fuse_dwse:
+            # Fused depthwise+BN+SiLU+mean Pallas kernel (ops/dw_se.py):
+            # the SE global mean rides the pass that writes the activated
+            # tensor, eliminating its separate HBM read (BASELINE.md).
+            kern, scale, shift = dw(mode="params")
+            w_eff = kern.reshape(self.kernel * self.kernel, expanded) * scale
+            y, m = dw_bn_silu_mean(
+                x, w_eff, shift, kernel=self.kernel,
+                interpret=jax.default_backend() != "tpu")
             squeeze = max(1, int(self.cfg_in * self.se_ratio))
-            x = SqueezeExcite(squeeze, dtype=self.dtype, name="se")(x)
+            x = SqueezeExcite(squeeze, dtype=self.dtype, name="se")(
+                y, mean=m[:, None, None, :])
+        else:
+            x = dw(x, train=train)
+            if self.se_ratio > 0:
+                squeeze = max(1, int(self.cfg_in * self.se_ratio))
+                x = SqueezeExcite(squeeze, dtype=self.dtype, name="se")(x)
         x = ConvBN(self.cfg_out, 1, 1, tf_same=self.tf_same, act=False,
                    bn_momentum=self.bn_momentum, dtype=self.dtype,
                    name="project")(x, train=train)
@@ -221,6 +279,7 @@ class _EfficientNet(nn.Module):
     tf_same: bool
     bn_momentum: float
     drop_connect_rate: float = 0.2
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -244,6 +303,7 @@ class _EfficientNet(nn.Module):
                     x = MBConv(
                         in_ch, cfg.out_ch, cfg.kernel, stride, cfg.expand,
                         cfg.se_ratio, rate, self.tf_same, self.bn_momentum,
+                        use_pallas_dwse=self.use_pallas_dwse,
                         dtype=self.dtype, name=f"block_{si}_{r}")(x, train=train)
                 idx += 1
         x = ConvBN(self.head_ch, 1, 1, tf_same=self.tf_same,
@@ -255,25 +315,29 @@ class _EfficientNet(nn.Module):
 class EfficientNetB0(nn.Module):
     """B0 feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:108-109)."""
 
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         return _EfficientNet(
             B0_BLOCKS, stem_ch=32, head_ch=1280, tf_same=True,
-            bn_momentum=0.99, dtype=self.dtype, name="net")(x, train=train)
+            bn_momentum=0.99, use_pallas_dwse=self.use_pallas_dwse,
+            dtype=self.dtype, name="net")(x, train=train)
 
 
 class EfficientNetV2S(nn.Module):
     """V2-S feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:111-113)."""
 
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         return _EfficientNet(
             V2S_BLOCKS, stem_ch=24, head_ch=1280, tf_same=False,
-            bn_momentum=0.9, dtype=self.dtype, name="net")(x, train=train)
+            bn_momentum=0.9, use_pallas_dwse=self.use_pallas_dwse,
+            dtype=self.dtype, name="net")(x, train=train)
 
 
 def frozen_param_paths(variant: str) -> Sequence[Tuple[str, ...]]:

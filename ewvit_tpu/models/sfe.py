@@ -43,6 +43,7 @@ class EfficientViT(nn.Module):
     selected_efficient_net: int = 0    # 0 = B0, 1 = V2-S (sfe.py:106-113)
     feat_dim: int = 128
     output_mode: Optional[str] = None
+    use_pallas_dwse: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -50,11 +51,13 @@ class EfficientViT(nn.Module):
         a = self.arch
         p = a.patch_size
         if self.selected_efficient_net == 0:
-            feats = EfficientNetB0(dtype=self.dtype, name="efficient_net")(
-                img, train=train)
+            feats = EfficientNetB0(
+                use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
+                name="efficient_net")(img, train=train)
         else:
-            feats = EfficientNetV2S(dtype=self.dtype, name="efficient_net")(
-                img, train=train)
+            feats = EfficientNetV2S(
+                use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
+                name="efficient_net")(img, train=train)
 
         n, fh, fw, fc = feats.shape
         gh, gw = fh // p, fw // p
