@@ -119,8 +119,13 @@ def haar_idwt2d(ll: jax.Array, hf: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _analysis_matrices(h: int, w: int):
-    """R [H,H] (unscaled sums/diffs of row pairs) and Cᵀ [W,W] (x0.5)."""
+def _analysis_matrices_np(h: int, w: int):
+    """R [H,H] (unscaled sums/diffs of row pairs) and Cᵀ [W,W] (x0.5).
+
+    Cached as NUMPY arrays only: caching jnp arrays here leaked tracers
+    when the first call happened inside one jit trace and the cached value
+    was reused in another (UnexpectedTracerError through the detector's
+    scan; seen 2026-08-17)."""
     import numpy as np
 
     def pairs(n):
@@ -132,8 +137,11 @@ def _analysis_matrices(h: int, w: int):
             m[n // 2 + i, 2 * i + 1] = -1.0
         return m
 
-    r = pairs(h)
-    ct = pairs(w).T * 0.5
+    return pairs(h), pairs(w).T * 0.5
+
+
+def _analysis_matrices(h: int, w: int):
+    r, ct = _analysis_matrices_np(h, w)
     return jnp.asarray(r), jnp.asarray(ct)
 
 

@@ -105,3 +105,27 @@ def test_grad_flows(rng):
     g = jax.grad(f)(x)
     # d/dx of energy of an orthonormal transform = 2x
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), atol=1e-5)
+
+
+def test_pallas_reuse_across_jit_traces_no_tracer_leak(rng):
+    """Regression: _analysis_matrices was lru_cached as jnp arrays; first
+    populating the cache inside one jit trace and reusing it in another
+    raised UnexpectedTracerError (seen through the detector scan,
+    2026-08-17). The cache now stores numpy only."""
+    from ewvit_tpu.ops import haar
+
+    haar._analysis_matrices_np.cache_clear()
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+
+    @jax.jit
+    def first(x):  # populates the cache inside this trace
+        ll, _ = haar.haar_dwt2d_pallas(x, interpret=True)
+        return ll
+
+    @jax.jit
+    def second(x):  # must not see a leaked tracer from `first`'s trace
+        ll, _ = haar.haar_dwt2d_pallas(x, interpret=True)
+        return ll
+
+    np.testing.assert_allclose(
+        np.asarray(first(x)), np.asarray(second(x)), atol=1e-6)
