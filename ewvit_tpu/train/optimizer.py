@@ -72,11 +72,15 @@ def make_optimizer(
     freeze_backbone_prefixes: bool = True,
 ) -> optax.GradientTransformation:
     schedule = cosine_annealing_schedule(lr, epochs, steps_per_epoch, eta_min)
-    adam = optax.chain(
+    adam = optax.flatten(optax.chain(
         optax.add_decayed_weights(weight_decay),   # torch-style coupled L2
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
-    )
+    ))
+    # optax.flatten: the detector has ~600 parameter tensors and a per-tensor
+    # Adam update is dispatch-bound on TPU (measured 37.6 ms/step for 149M
+    # params = 7x off HBM peak); flattening runs the identical math over one
+    # concatenated vector at bandwidth (BASELINE.md).
     if not freeze_backbone_prefixes:
         return adam
     labels = freeze_mask(params, detector_frozen_paths())

@@ -42,13 +42,13 @@ def create_train_state(variables, tx) -> Tuple[TrainState, Any]:
 
 
 def _loss_fn(params, batch_stats, model, frames, labels, *, mode, frame_chunk,
-             pos_weight, epoch, max_epochs, rng, train):
+             pos_weight, epoch, max_epochs, rng, train, remat=True):
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     outputs, updates = video_forward(
         model, variables, frames, mode=mode, frame_chunk=frame_chunk,
-        train=train, rng=rng)
+        train=train, rng=rng, remat=remat)
     criterion = functools.partial(weighted_bce_with_logits,
                                   pos_weight=pos_weight)
     loss, parts = combined_loss(outputs, labels, criterion, epoch, max_epochs)
@@ -59,7 +59,8 @@ def _loss_fn(params, batch_stats, model, frames, labels, *, mode, frame_chunk,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "tx", "mode", "frame_chunk", "accum_steps"),
+    static_argnames=("model", "tx", "mode", "frame_chunk", "accum_steps",
+                     "remat"),
 )
 def train_step(
     state: TrainState,
@@ -75,8 +76,14 @@ def train_step(
     pos_weight: float = 1.0,
     epoch: jax.Array | int = 0,
     max_epochs: int = 30,
+    remat: bool = True,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """One optimizer update over ``accum_steps`` micro-batches."""
+    """One optimizer update over ``accum_steps`` micro-batches.
+
+    ``remat``: rematerialize per-frame-chunk activations in the backward
+    (ModelConfig.remat_frames; trades ~1 extra forward for O(chunk) instead
+    of O(K) activation memory).
+    """
     g = accum_steps
     bt = frames.shape[0]
     assert bt % g == 0, f"batch {bt} not divisible by accum_steps {g}"
@@ -93,7 +100,7 @@ def train_step(
         (loss, (bstats, parts, preds)), grads = grad_fn(
             state.params, bstats, model, fr, lb, mode=mode,
             frame_chunk=frame_chunk, pos_weight=pos_weight, epoch=epoch,
-            max_epochs=max_epochs, rng=key, train=True)
+            max_epochs=max_epochs, rng=key, train=True, remat=remat)
         gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
         return (bstats, gsum, loss_sum + loss, cls_sum + parts["cls_loss"],
                 orth_sum + parts["orth_loss"]), preds.reshape(-1)
