@@ -24,12 +24,16 @@ from sklearn.metrics import (
 
 
 def calculate_eer(labels: Sequence[int], scores: Sequence[float]):
-    """Equal error rate + its threshold from the ROC (eval.py:79-94)."""
+    """Equal error rate + its threshold from the ROC (eval.py:79-94).
+
+    Matches the reference exactly: EER = fpr at the argmin of |fnr - fpr|
+    (eval.py:92), not the symmetric (fpr+fnr)/2 average — parity of emitted
+    numbers wins over the marginally better estimator
+    (tests/test_reference_parity.py)."""
     fpr, tpr, thresholds = roc_curve(labels, scores)
     fnr = 1 - tpr
     idx = int(np.nanargmin(np.abs(fnr - fpr)))
-    eer = float((fpr[idx] + fnr[idx]) / 2)
-    return eer, float(thresholds[idx])
+    return float(fpr[idx]), float(thresholds[idx])
 
 
 def binary_metrics(

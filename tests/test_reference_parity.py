@@ -260,3 +260,142 @@ def test_orthogonal_and_combined_loss_parity_vs_reference(ref):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(float(parts["cls_loss"]), t_cls.item(),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Host-side behavior parity: FF++ loader (SURVEY C6) and eval metrics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ff_fixture(tmp_path_factory):
+    """Reference-layout frames-on-disk fixture (same shape as test_data.py)."""
+    import json as _json
+
+    import cv2
+
+    root = tmp_path_factory.mktemp("refpar_ffpp")
+    base = root / "faceforensics" / "ff++"
+    methods = ["Deepfakes", "Face2Face", "FaceSwap", "NeuralTextures",
+               "FaceShifter"]
+    pairs = [[f"{i:03d}", f"{i + 100:03d}"] for i in range(6)]
+    os.makedirs(base / "splits")
+    for split in ("train", "val", "test"):
+        with open(base / "splits" / f"{split}.json", "w") as f:
+            _json.dump(pairs, f)
+
+    def write(dirpath, seed):
+        os.makedirs(dirpath, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        for i in range(4):
+            img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+            cv2.imwrite(os.path.join(dirpath, f"{i:03d}.png"), img)
+
+    for si, (target, _) in enumerate(pairs):
+        write(str(base / "frames" / "original" / target), si)
+    for mi, m in enumerate(methods):
+        for si, (target, source) in enumerate(pairs):
+            write(str(base / "frames" / m / f"{target}_{source}"),
+                  100 + mi * 10 + si)
+    return str(root)
+
+
+def _ref_loader(ref, root, **kw):
+    mod = importlib.import_module("config.data_loader")
+    return mod.FaceForensicsLoader(root=root, **kw)
+
+
+def test_ff_loader_manifest_parity(ref, ff_fixture):
+    """Manifest construction (data_loader.py:83-169): real list, 1:1 fake
+    balancing with least-represented-method-first, single_method filter —
+    reference loader vs ours on the same fixture."""
+    from ewvit_tpu.data.datasets import FaceForensicsDataset
+
+    for split in ("train", "test"):
+        tref = _ref_loader(ref, ff_fixture, split=split, frame_count=4)
+        ours = FaceForensicsDataset(ff_fixture, split=split, frame_count=4)
+        assert len(tref) == len(ours)
+        assert list(tref.real_videos) == list(ours.real_videos)
+        assert ({v["path"] for v in tref.fake_videos}
+                == {v["path"] for v in ours.fake_videos})
+        ref_counts = {}
+        for v in tref.fake_videos:
+            ref_counts[v["method"]] = ref_counts.get(v["method"], 0) + 1
+        our_counts = {}
+        for v in ours.fake_videos:
+            our_counts[v["method"]] = our_counts.get(v["method"], 0) + 1
+        assert ref_counts == our_counts
+
+    # test-split single-method filter selects exactly that method's pairs
+    tref = _ref_loader(ref, ff_fixture, split="test", frame_count=4,
+                       single_method="Face2Face")
+    ours = FaceForensicsDataset(ff_fixture, split="test", frame_count=4,
+                                single_method="Face2Face")
+    assert ({v["path"] for v in tref.fake_videos}
+            == {v["path"] for v in ours.fake_videos})
+    assert all(v["method"] == "Face2Face" for v in ours.fake_videos)
+
+
+@pytest.mark.parametrize("frame_count", [3, 8])
+def test_ff_getitem_frame_parity(ref, ff_fixture, frame_count):
+    """__getitem__ pixel parity (data_loader.py:270-339): linspace frame
+    selection (count < files) and last-frame padding (count > files),
+    BGR->RGB, identical bytes for the same underlying video."""
+    from ewvit_tpu.data.datasets import FaceForensicsDataset
+
+    to_tensor = lambda img: torch.from_numpy(  # noqa: E731
+        np.ascontiguousarray(img)).permute(2, 0, 1)
+    tref = _ref_loader(ref, ff_fixture, split="test",
+                       frame_count=frame_count, transform=to_tensor)
+    ours = FaceForensicsDataset(ff_fixture, split="test",
+                                frame_count=frame_count)
+
+    # real sample: same index space (reals first, split order)
+    t_frames, t_label = tref[0]
+    o_frames, o_label = ours[0]
+    assert (t_label, o_label) == (0, 0)
+    np.testing.assert_array_equal(
+        t_frames.numpy().transpose(0, 2, 3, 1), o_frames)
+
+    # fake sample: match by path (fake ordering is shuffled independently)
+    t_fake = tref.fake_videos[0]
+    o_index = len(ours.real_videos) + [
+        v["path"] for v in ours.fake_videos].index(t_fake["path"])
+    t_frames, t_label = tref[len(tref.real_videos)]
+    o_frames, o_label = ours[o_index]
+    assert (t_label, o_label) == (1, 1)
+    np.testing.assert_array_equal(
+        t_frames.numpy().transpose(0, 2, 3, 1), o_frames)
+
+
+def test_ff_curriculum_schedule_parity(ref, ff_fixture):
+    """update_sampling_strategy (data_loader.py:229-268): the fixed/novelty
+    ratio schedule and current_fake sizing match the reference epoch by
+    epoch (membership differs by documented RNG divergence, PARITY.md)."""
+    from ewvit_tpu.data.datasets import FaceForensicsDataset
+
+    tref = _ref_loader(ref, ff_fixture, split="train", frame_count=4)
+    ours = FaceForensicsDataset(ff_fixture, split="train", frame_count=4)
+    max_epochs = 10
+    for epoch in range(max_epochs):
+        tref.update_sampling_strategy(epoch, max_epochs)
+        ours.update_sampling_strategy(epoch, max_epochs)
+        assert tref.fixed_sample_ratio == pytest.approx(
+            ours.fixed_sample_ratio)
+        assert tref.novelty_ratio == pytest.approx(ours.novelty_ratio)
+        assert len(tref.current_fake) == len(ours.current_fake)
+        assert len(tref) == len(ours)
+
+
+def test_calculate_eer_parity(ref):
+    """eval.py:79-94 EER + threshold vs utils/metrics.calculate_eer."""
+    eval_mod = importlib.import_module("eval")
+    from ewvit_tpu.utils.metrics import calculate_eer
+
+    rng = np.random.default_rng(0)
+    labels = (rng.random(200) > 0.5).astype(int)
+    scores = np.clip(rng.normal(labels * 0.6 + 0.2, 0.25), 0, 1)
+    t_eer, t_thr = eval_mod.calculate_eer(labels, scores)
+    o_eer, o_thr = calculate_eer(labels, scores)
+    np.testing.assert_allclose(o_eer, t_eer, atol=1e-9)
+    np.testing.assert_allclose(o_thr, t_thr, atol=1e-9)
