@@ -62,10 +62,18 @@ def main():
         (args.batch_size, args.frame_count, size, size, 3),
         jnp.dtype(cfg.compute_dtype))
 
+    chunk = min(args.frame_chunk, args.frame_count)
+    n_chunks = -(-args.frame_count // chunk)
+    padded = n_chunks * chunk
+    if padded != args.frame_count:
+        print(f"Note: frame_count={args.frame_count} scans in {n_chunks} "
+              f"chunks of {chunk} (last one padded) — compute is "
+              f"proportional to {padded} frames; pick --frame-chunk "
+              f"dividing frame_count for peak throughput")
+
     def forward(variables, clip):
         out, _ = video_forward(
-            model, variables, clip, mode=args.mode,
-            frame_chunk=min(args.frame_chunk, args.frame_count),
+            model, variables, clip, mode=args.mode, frame_chunk=chunk,
             train=False, remat=False)
         return out["logits"]
 
