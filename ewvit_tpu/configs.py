@@ -10,7 +10,7 @@ exactly so that parity checks share a single source of truth.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import yaml
 
@@ -101,6 +101,13 @@ class ModelConfig:
                                       # exact in fp32 — ops/mwt_tail.py)
     use_pallas_dwse: bool = False     # fused depthwise+BN+SiLU+SE-mean
                                       # kernel (inference only — ops/dw_se.py)
+    # Testability hook: a callable ``(dtype=..., name=...) -> nn.Module``
+    # replacing the EfficientNet backbones everywhere. Used by the
+    # reference-parity tests to compare full-detector logits against the
+    # reference's own code with identical stub backbones on both sides
+    # (the real backbones need packages absent from the build env,
+    # PARITY.md "Known gaps"). Must stay None in production configs.
+    backbone_factory: Any = None
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -41,6 +41,7 @@ class DAMA(nn.Module):
     use_pallas_dama: bool = False
     use_fused_mwt_tail: bool = False
     use_pallas_dwse: bool = False
+    backbone_factory: Any = None  # test-only (ModelConfig.backbone_factory)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -52,7 +53,8 @@ class DAMA(nn.Module):
         space_feats = EfficientViT(
             arch=self.arch, channels=1280, selected_efficient_net=1,
             feat_dim=self.dim, output_mode="feature_map",
-            use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
+            use_pallas_dwse=self.use_pallas_dwse,
+            backbone_factory=self.backbone_factory, dtype=self.dtype,
             name="sfe",
         )(frames, train=train)                       # [N, 1, 1, dim]
 

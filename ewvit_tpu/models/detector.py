@@ -58,7 +58,8 @@ class DeepfakeDetector(nn.Module):
             use_pallas_dwt=c.use_pallas_dwt,
             use_pallas_dama=c.use_pallas_dama,
             use_fused_mwt_tail=c.use_fused_mwt_tail,
-            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
+            use_pallas_dwse=c.use_pallas_dwse,
+            backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.mwt = MWT(
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
@@ -68,12 +69,14 @@ class DeepfakeDetector(nn.Module):
         self.sfe = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
             feat_dim=c.dama_dim, output_mode="feature_map",
-            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
+            use_pallas_dwse=c.use_pallas_dwse,
+            backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.sfe_cls = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
             feat_dim=c.dama_dim, output_mode="cls",
-            use_pallas_dwse=c.use_pallas_dwse, dtype=dt,
+            use_pallas_dwse=c.use_pallas_dwse,
+            backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.fusion_gate_fc = nn.Dense(2, dtype=dt)
         self.fusion_gate_drop = nn.Dropout(0.1)

@@ -44,13 +44,18 @@ class EfficientViT(nn.Module):
     feat_dim: int = 128
     output_mode: Optional[str] = None
     use_pallas_dwse: bool = False
+    # test-only injection point (ModelConfig.backbone_factory)
+    backbone_factory: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, *, train: bool = False):
         a = self.arch
         p = a.patch_size
-        if self.selected_efficient_net == 0:
+        if self.backbone_factory is not None:
+            feats = self.backbone_factory(
+                dtype=self.dtype, name="efficient_net")(img, train=train)
+        elif self.selected_efficient_net == 0:
             feats = EfficientNetB0(
                 use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
                 name="efficient_net")(img, train=train)

@@ -399,3 +399,147 @@ def test_calculate_eer_parity(ref):
     o_eer, o_thr = calculate_eer(labels, scores)
     np.testing.assert_allclose(o_eer, t_eer, atol=1e-9)
     np.testing.assert_allclose(o_thr, t_thr, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Full-detector logit parity with stub backbones injected on BOTH sides
+# ---------------------------------------------------------------------------
+#
+# The real EfficientNet backbones need packages absent from this environment;
+# everything around them — the EfficientViT glue (patchify, batch-indexed
+# pos-embedding quirk, transformer, heads), MWT, DAMA (cross-attention +
+# both gates + branch fusion), the K-frame chunk loop with running mean, and
+# all three ablation forwards of model.py — is compared end-to-end against
+# the reference's own code by giving both implementations the SAME tiny conv
+# backbone (3 -> 1280, k32 s32: preserves the 7x7x1280 feature-map contract,
+# sfe.py:148-150).
+
+
+from flax import linen as fnn  # noqa: E402
+
+
+class StubBackboneFlax(fnn.Module):
+    """[N,224,224,3] -> [N,7,7,1280]; params under efficient_net/conv."""
+
+    dtype: object = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return fnn.Conv(1280, (32, 32), strides=(32, 32), padding="VALID",
+                        dtype=self.dtype, name="conv")(x.astype(self.dtype))
+
+
+def _torch_stubs():
+    class TorchStubB0(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 1280, 32, 32)
+
+        def extract_features(self, x):
+            return self.conv(x)
+
+    class TorchStubV2S(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = torch.nn.Conv2d(3, 1280, 32, 32)
+            self.classifier = torch.nn.Identity()
+
+    return TorchStubB0, TorchStubV2S
+
+
+@pytest.fixture()
+def ref_detector(ref, monkeypatch):
+    """Reference DeepfakeDetector built with stub backbones, eval mode."""
+    TorchStubB0, TorchStubV2S = _torch_stubs()
+    monkeypatch.setattr(
+        sys.modules["efficientnet_pytorch"].EfficientNet, "from_pretrained",
+        staticmethod(lambda name: TorchStubB0()), raising=False)
+    sfe_mod = importlib.import_module("network.sfe")
+    monkeypatch.setattr(sfe_mod, "EfficientNet",
+                        sys.modules["efficientnet_pytorch"].EfficientNet)
+    monkeypatch.setattr(sfe_mod, "efficientnet_v2_s",
+                        lambda weights=None: TorchStubV2S())
+    model_mod = importlib.import_module("network.model")
+    cwd = os.getcwd()
+    os.chdir(REF)   # model.py:31 / dama.py:94 open config/ CWD-relative
+    try:
+        torch.manual_seed(0)
+        det = model_mod.DeepfakeDetector(
+            in_channels=3, dama_dim=128, batch_size=2)
+    finally:
+        os.chdir(cwd)
+    det.eval()
+    _randomize_bn_stats(det)
+    return det
+
+
+def _convert_stub_detector(sd):
+    from ewvit_tpu.utils.torch_convert import (
+        _TreeBuilder, _convert_cross_transformer, _convert_mwt,
+        _convert_transformer)
+
+    b = _TreeBuilder(sd)
+
+    def evit(t, f, variant):
+        tconv = f"{t}.efficient_net." + (
+            "conv" if variant == "b0" else "features")
+        b.conv(tconv, f + ("efficient_net", "conv"), bias=True)
+        b.raw(f"{t}.pos_embedding", f + ("pos_embedding",))
+        b.raw(f"{t}.cls_token", f + ("cls_token",))
+        b.linear(f"{t}.patch_to_embedding", f + ("patch_to_embedding",))
+        _convert_transformer(b, f"{t}.transformer", f + ("transformer",))
+        b.linear(f"{t}.mlp_head.0", f + ("mlp_head_fc1",))
+        b.linear(f"{t}.mlp_head.2", f + ("mlp_head_fc2",))
+        b.linear(f"{t}.feat_map.0", f + ("feat_map",))
+
+    evit("dama.sfe", ("dama", "sfe"), "v2s")
+    _convert_mwt(b, "dama.mwt", ("dama", "mwt"))
+    _convert_cross_transformer(b, "dama.cross_att", ("dama", "cross_att"))
+    b.conv("dama.fusion_gate.0", ("dama", "fusion_gate_conv"), bias=True)
+    b.bn("dama.fusion_gate.1", ("dama", "fusion_gate_bn"))
+    b.linear("dama.gate_net.2", ("dama", "gate_fc1"))
+    b.linear("dama.gate_net.5", ("dama", "gate_fc2"))
+    _convert_mwt(b, "mwt", ("mwt",))
+    evit("sfe", ("sfe",), "b0")
+    evit("sfe_cls", ("sfe_cls",), "b0")
+    b.linear("fusion_gate.0", ("fusion_gate_fc",))
+    b.linear("classifier.0", ("classifier_fc1",))
+    b.linear("classifier.3", ("classifier_fc2",))
+    assert not b.missing, b.missing
+    return {"params": b.params, "batch_stats": b.stats}
+
+
+@pytest.mark.parametrize("mode", ["dynamic", "sfe_only", "sfe_mwt"])
+def test_full_detector_logit_parity_vs_reference(ref_detector, mode):
+    """North-star check (BASELINE.md: logits within 1e-3) against the
+    reference's own model.py, as far as this environment allows: stub
+    backbones, everything else real, all three ablation forwards, K-frame
+    chunking with a ragged tail (K=4, chunk=2 on the reference side via its
+    batch_size micro-batching)."""
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.models.detector import DeepfakeDetector, video_forward
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_detector.state_dict().items()}
+    variables = _convert_stub_detector(sd)
+
+    x = torch.randn(2, 4, 3, 224, 224,
+                    generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        t_out = ref_detector(x, batch_size=2, ablation=mode)
+    t_logits = t_out["logits"].numpy().reshape(2)
+
+    cfg = ModelConfig(compute_dtype="float32", frame_chunk=2,
+                      backbone_factory=StubBackboneFlax)
+    model = DeepfakeDetector(cfg)
+    out, _ = video_forward(
+        model, variables, jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2)),
+        mode=mode, frame_chunk=2, train=False, remat=False)
+    j_logits = np.asarray(out["logits"]).reshape(2)
+
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=1e-3)
+    if mode == "dynamic":
+        for key in ("fused", "space", "freq"):
+            np.testing.assert_allclose(
+                np.asarray(out[key]).reshape(2, 128),
+                t_out[key].numpy().reshape(2, 128), rtol=1e-3, atol=1e-3)
