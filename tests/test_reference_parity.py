@@ -81,10 +81,16 @@ def _install_shims():
             "EfficientNet_V2_S_Weights", (), {"IMAGENET1K_V1": None})
         tv.models = tvm
         tvt = types.ModuleType("torchvision.transforms")
-        # transforms.py:5 imports this; any attribute works as a no-op class
-        tvt.__getattr__ = lambda name: type(
-            name, (), {"__init__": lambda self, *a, **k: None,
-                       "__call__": lambda self, x: x})
+
+        # transforms.py:5 imports this; any attribute works as a no-op class.
+        # Dunders must NOT resolve (inspect probes module.__file__ etc.).
+        def _tvt_getattr(name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {"__init__": lambda self, *a, **k: None,
+                                   "__call__": lambda self, x: x})
+
+        tvt.__getattr__ = _tvt_getattr
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
@@ -543,3 +549,46 @@ def test_full_detector_logit_parity_vs_reference(ref_detector, mode):
             np.testing.assert_allclose(
                 np.asarray(out[key]).reshape(2, 128),
                 t_out[key].numpy().reshape(2, 128), rtol=1e-3, atol=1e-3)
+
+
+def test_adam_update_parity_vs_torch(ref):
+    """The reference optimizer is torch.optim.Adam(lr=1e-4, weight_decay=1e-4)
+    (train.py:273) — coupled L2, NOT AdamW. Our optax chain
+    (add_decayed_weights -> scale_by_adam -> lr) must produce identical
+    parameter trajectories; run 3 steps on a random tree with fresh grads."""
+    import optax
+
+    from ewvit_tpu.train.optimizer import cosine_annealing_schedule
+
+    g = torch.Generator().manual_seed(0)
+    shapes = [(7, 5), (5,), (3, 3, 2, 4)]
+    t_params = [torch.nn.Parameter(torch.randn(s, generator=g, dtype=torch.float32))
+                for s in shapes]
+    # np.array COPY is load-bearing: on the CPU backend jnp.asarray over a
+    # torch .numpy() view is ZERO-COPY, so torch's in-place opt.step() would
+    # silently mutate the jax array too (cost a debugging session).
+    j_params = [jnp.asarray(np.array(p.detach().numpy())) for p in t_params]
+
+    lr, wd, epochs = 1e-2, 1e-3, 10
+    t_opt = torch.optim.Adam(t_params, lr=lr, weight_decay=wd)
+    sched = cosine_annealing_schedule(lr, epochs, steps_per_epoch=1000)
+    tx = optax.flatten(optax.chain(
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(lambda step: lr),  # epoch 0 == base lr
+    ))
+    j_state = tx.init(j_params)
+    assert float(sched(jnp.zeros((), jnp.int32))) == pytest.approx(lr)
+
+    for step in range(3):
+        grads_t = [torch.randn(s, generator=g, dtype=torch.float32)
+                   for s in shapes]
+        for p, gr in zip(t_params, grads_t):
+            p.grad = gr.clone()
+        t_opt.step()
+        grads_j = [jnp.asarray(gr.numpy()) for gr in grads_t]
+        updates, j_state = tx.update(grads_j, j_state, j_params)
+        j_params = optax.apply_updates(j_params, updates)
+        for tp, jp in zip(t_params, j_params):
+            np.testing.assert_allclose(
+                np.asarray(jp), tp.detach().numpy(), rtol=1e-5, atol=1e-6)
