@@ -11,6 +11,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Do NOT enable jax_compilation_cache_dir here: in this environment CPU
+# compiles run on a remote helper whose machine features differ from this
+# host, and loading the cached XLA:CPU AOT result SEGFAULTS the process
+# ("+prefer-no-gather is not supported on the host machine"). The cache is
+# TPU-only (bench.py).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
