@@ -127,31 +127,37 @@ class BatchLoader:
 
 
 class DevicePrefetcher:
-    """Wraps a BatchLoader iterator; device_puts the next batch eagerly.
+    """Wraps a batch iterator; device_puts the next batch eagerly.
 
     With a sharding, the put distributes [B, K, ...] over the mesh ('data'
     [, 'frames']) axes; the transfer overlaps the consumer's compute because
     jax transfers are async until the array is used.
+
+    Batches are ``(frames, labels, *rest)`` tuples: frames are always put;
+    labels only when ``put_labels`` (the training/eval loops keep labels
+    host-side for sklearn metrics — re-pulling them through the axon tunnel
+    costs ~1.5 s per pull, CLAUDE.md); ``rest`` passes through untouched.
     """
 
     def __init__(self, loader, sharding=None, label_sharding=None,
-                 lookahead: int = 1):
+                 lookahead: int = 1, put_labels: bool = True):
         self.loader = loader
         self.sharding = sharding
         self.label_sharding = label_sharding
         self.lookahead = max(1, lookahead)
+        self.put_labels = put_labels
 
     def _put(self, batch):
         import jax
 
-        frames, labels = batch
-        if self.sharding is not None:
-            frames = jax.device_put(frames, self.sharding)
-            labels = jax.device_put(labels, self.label_sharding)
-        else:
-            frames = jax.device_put(frames)
-            labels = jax.device_put(labels)
-        return frames, labels
+        frames, labels, *rest = batch
+        frames = (jax.device_put(frames, self.sharding)
+                  if self.sharding is not None else jax.device_put(frames))
+        if self.put_labels:
+            labels = (jax.device_put(labels, self.label_sharding)
+                      if self.label_sharding is not None
+                      else jax.device_put(labels))
+        return (frames, labels, *rest)
 
     def __iter__(self):
         from collections import deque

@@ -111,11 +111,14 @@ def evaluate(
     collect_outputs: bool = True,
 ) -> Dict:
     """Full-dataset eval: device forwards + host metrics (≙ eval.py:135-194)."""
+    from ewvit_tpu.data.pipeline import DevicePrefetcher
+
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     losses, orth_losses, preds, labels = [], [], [], []
     remaining = len(loader.dataset) if hasattr(loader, "dataset") else None
-    for frames, lbls in loader:
+    # H2D of batch N+1 overlaps batch N's forward; labels stay host-side.
+    for frames, lbls in DevicePrefetcher(loader, put_labels=False):
         x = preprocess_batch(jnp.asarray(frames), train=False,
                              dtype_name=compute_dtype)
         out = eval_step(

@@ -75,6 +75,14 @@ def make_mesh(data: Optional[int] = None, frames: int = 1,
                 (1, data, frames), (dcn, 1, 1), devices=devices)
         except Exception:  # virtual slices / older jax: row-major fallback
             arr = None
+            import warnings
+
+            warnings.warn(
+                "create_hybrid_device_mesh failed on a multi-slice device "
+                "set; falling back to a row-major reshape. If device order "
+                "interleaves slices, 'data'/'frames' collectives may cross "
+                "slice boundaries and ride DCN instead of ICI.",
+                RuntimeWarning, stacklevel=2)
     if arr is None:
         arr = np.asarray(devices).reshape(dcn, data, frames)
     return Mesh(arr, AXES)

@@ -32,7 +32,12 @@ from ewvit_tpu.models.detector import init_detector
 from ewvit_tpu.ops.preprocess import preprocess_batch
 from ewvit_tpu.train.checkpoint import CheckpointManager
 from ewvit_tpu.train.optimizer import make_optimizer
-from ewvit_tpu.train.steps import TrainState, create_train_state, eval_step, train_step
+from ewvit_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    eval_step,
+    train_step_donated,
+)
 from ewvit_tpu.utils.metrics import binary_metrics
 
 
@@ -101,17 +106,24 @@ class Trainer:
 
     # ----- single epochs ---------------------------------------------------
 
-    def _prep(self, frames: np.ndarray, train: bool,
-              labels: Optional[np.ndarray] = None):
-        """uint8 host batch -> normalized (sharded) device batch."""
+    def _frames_sharding(self):
+        if self.mesh is None:
+            return None
+        from ewvit_tpu.parallel.mesh import batch_sharding
+
+        return batch_sharding(self.mesh, frame_axis=False)
+
+    def _prep(self, frames, train: bool, labels=None):
+        """uint8 (host or prefetched-device) batch -> normalized device batch."""
         self.rng, key = jax.random.split(self.rng)
         x = jnp.asarray(frames)
         lb = (jnp.asarray(labels, jnp.float32)
               if labels is not None else None)
         if self.mesh is not None:
-            from ewvit_tpu.parallel.mesh import batch_sharding, label_sharding
+            from ewvit_tpu.parallel.mesh import label_sharding
 
-            x = jax.device_put(x, batch_sharding(self.mesh, frame_axis=False))
+            # no-op (fast path) when the DevicePrefetcher already placed x
+            x = jax.device_put(x, self._frames_sharding())
             if lb is not None:
                 lb = jax.device_put(lb, label_sharding(self.mesh))
         x = preprocess_batch(x, key, train=train,
@@ -124,32 +136,43 @@ class Trainer:
         losses, cls_losses, orth_losses = [], [], []
         all_preds: list = []
         all_labels: list = []
-        accum: list = []
 
-        def flush(group):
-            frames = np.concatenate([b[0] for b in group])
-            labels = np.concatenate([b[1] for b in group])
+        def groups():
+            """Collate accum_steps loader batches into one host super-batch."""
+            group: list = []
+            for batch in loader:
+                group.append(batch)
+                if len(group) == cfg.accum_steps:
+                    yield (np.concatenate([b[0] for b in group]),
+                           np.concatenate([b[1] for b in group]), len(group))
+                    group = []
+            if group:  # tail flush (train.py:125-127)
+                yield (np.concatenate([b[0] for b in group]),
+                       np.concatenate([b[1] for b in group]), len(group))
+
+        # H2D of super-batch N+1 overlaps train_step N (SURVEY §7 hard part 3);
+        # labels stay host-side for the epoch metrics.
+        from ewvit_tpu.data.pipeline import DevicePrefetcher
+
+        prefetched = DevicePrefetcher(
+            groups(), sharding=self._frames_sharding(), put_labels=False)
+
+        for frames, labels, n_micro in prefetched:
             x, lb = self._prep(frames, train=True, labels=labels)
             self.rng, key = jax.random.split(self.rng)
-            self.state, metrics = train_step(
+            # donated: the old state's buffers are reused in place (the
+            # Trainer never reads a superseded state)
+            self.state, metrics = train_step_donated(
                 self.state, x, lb, key,
                 model=self.model, tx=self.tx, mode=self.mode,
                 frame_chunk=self.model_cfg.frame_chunk,
-                accum_steps=len(group), pos_weight=self.pos_weight,
+                accum_steps=n_micro, pos_weight=self.pos_weight,
                 epoch=epoch, max_epochs=cfg.epochs)
             losses.append(float(metrics["loss"]))
             cls_losses.append(float(metrics["cls_loss"]))
             orth_losses.append(float(metrics["orth_loss"]))
             all_preds.extend(np.asarray(metrics["preds"]).tolist())
             all_labels.extend(labels.tolist())
-
-        for batch in loader:
-            accum.append(batch)
-            if len(accum) == cfg.accum_steps:
-                flush(accum)
-                accum = []
-        if accum:  # tail flush (train.py:125-127)
-            flush(accum)
 
         # epoch-level train metrics from the training forward's predictions
         # (train.py:121-135 parity)
@@ -171,7 +194,11 @@ class Trainer:
         # padded samples never enter the metrics
         remaining = (len(loader.dataset)
                      if hasattr(loader, "dataset") else None)
-        for frames, lbls in loader:
+        from ewvit_tpu.data.pipeline import DevicePrefetcher
+
+        prefetched = DevicePrefetcher(
+            loader, sharding=self._frames_sharding(), put_labels=False)
+        for frames, lbls in prefetched:
             x, lb = self._prep(frames, train=False, labels=lbls)
             out = eval_step(
                 self.state.params, self.state.batch_stats, x, lb,
@@ -231,10 +258,11 @@ class Trainer:
                     val_auc=val_auc, lr=lr,
                     epoch_time=tr.seconds + va.seconds)
 
-            if self.ckpt is not None:
-                if np.isfinite(val_auc) and val_auc > self.best_val_auc:
-                    self.best_val_auc = float(val_auc)
+            if np.isfinite(val_auc) and val_auc > self.best_val_auc:
+                self.best_val_auc = float(val_auc)
+                if self.ckpt is not None:
                     self.ckpt.save_best(self.state, epoch, self.best_val_auc)
+            if self.ckpt is not None:
                 self.ckpt.save_epoch(self.state, epoch, self.best_val_auc)
 
             history.append({"epoch": epoch, "train": dataclasses.asdict(tr),

@@ -109,8 +109,12 @@ def main():
         from ewvit_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()  # all local devices on the 'data' axis
-        assert (args.batch_size * args.accum_steps) % mesh.shape["data"] == 0, (
-            "global batch must divide the data-parallel axis")
+        # batches shard over BOTH ('dcn', 'data') — see mesh.batch_sharding —
+        # so the divisibility check must cover their product, not just 'data'
+        dp = mesh.shape["dcn"] * mesh.shape["data"]
+        assert (args.batch_size * args.accum_steps) % dp == 0, (
+            f"global batch {args.batch_size * args.accum_steps} must divide "
+            f"the dcn*data axes ({dp})")
         print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
     steps_per_epoch = max(1, len(train_loader) // args.accum_steps)
