@@ -44,9 +44,12 @@ NORTH_STAR_FPS = 5000.0
 def main() -> int:
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import init_detector, video_forward
+    from ewvit_tpu.utils.params import cast_kernels_for_inference
 
     cfg = ModelConfig()  # bfloat16 compute, fp32 params
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    # bit-identical under bf16 compute; halves every large weight read
+    variables = cast_kernels_for_inference(variables, cfg.compute_dtype)
 
     size = cfg.arch.image_size
     base = jax.random.normal(

@@ -40,6 +40,7 @@ class DAMA(nn.Module):
     use_pallas_dwt: bool = False
     use_pallas_dama: bool = False
     use_fused_mwt_tail: bool = False
+    fused_eval_pyramid: bool = True
     use_pallas_dwse: bool = False
     backbone_factory: Any = None  # test-only (ModelConfig.backbone_factory)
     dtype: Dtype = jnp.float32
@@ -62,7 +63,8 @@ class DAMA(nn.Module):
         freq_feats = MWT(
             in_channels=self.in_channels, dama_dim=self.dim, levels=self.levels,
             use_pallas_dwt=self.use_pallas_dwt,
-            use_fused_tail=self.use_fused_mwt_tail, dtype=self.dtype,
+            use_fused_tail=self.use_fused_mwt_tail,
+            fused_eval_pyramid=self.fused_eval_pyramid, dtype=self.dtype,
             name="mwt",
         )(frames, train=train)                       # [N, 1, 1, dim]
 

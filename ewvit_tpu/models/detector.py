@@ -58,13 +58,15 @@ class DeepfakeDetector(nn.Module):
             use_pallas_dwt=c.use_pallas_dwt,
             use_pallas_dama=c.use_pallas_dama,
             use_fused_mwt_tail=c.use_fused_mwt_tail,
+            fused_eval_pyramid=c.fused_eval_pyramid,
             use_pallas_dwse=c.use_pallas_dwse,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.mwt = MWT(
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
             use_pallas_dwt=c.use_pallas_dwt,
-            use_fused_tail=c.use_fused_mwt_tail, dtype=dt,
+            use_fused_tail=c.use_fused_mwt_tail,
+            fused_eval_pyramid=c.fused_eval_pyramid, dtype=dt,
         )
         self.sfe = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
@@ -155,7 +157,8 @@ def _feat_dims(cfg: ModelConfig, mode: str) -> Dict[str, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "mode", "frame_chunk", "train", "remat"),
+    static_argnames=("model", "mode", "frame_chunk", "train", "remat",
+                     "remat_policy"),
 )
 def video_forward(
     model: DeepfakeDetector,
@@ -167,6 +170,7 @@ def video_forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     remat: bool = True,
+    remat_policy: Optional[str] = None,
 ) -> Tuple[Dict[str, Any], Optional[Dict]]:
     """Full video forward: chunked per-frame scan + mean + head.
 
@@ -226,7 +230,12 @@ def video_forward(
         return new_bstats, out
 
     if remat:
-        chunk_fn = jax.checkpoint(chunk_fn)
+        if remat_policy == "dots":
+            # keep matmul/conv outputs, recompute elementwise
+            chunk_fn = jax.checkpoint(
+                chunk_fn, policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            chunk_fn = jax.checkpoint(chunk_fn)
 
     def body(carry, xs):
         bstats, sums = carry

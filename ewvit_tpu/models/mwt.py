@@ -136,6 +136,7 @@ class MWT(nn.Module):
     levels: int = 3
     use_pallas_dwt: bool = False
     use_fused_tail: bool = False
+    fused_eval_pyramid: bool = True
     dtype: Dtype = jnp.float32
 
     def _dwt(self, x):
@@ -156,10 +157,13 @@ class MWT(nn.Module):
         # like the reference's single ModuleDict used per level (mwt.py:47-65,
         # applied inside wavelet_transform at :85-88).
         hf_sep = [
-            _ConvBNRelu(6 * self.in_channels, dtype=self.dtype, name=f"hf_sep_{i}")
+            _ConvBNRelu(6 * self.in_channels, in_features=self.in_channels,
+                        dtype=self.dtype, name=f"hf_sep_{i}")
             for i in range(3)
         ]
-        hf_fusion = _ConvBNRelu(self.dama_dim, dtype=self.dtype, name="hf_fusion")
+        hf_fusion = _ConvBNRelu(self.dama_dim,
+                                in_features=18 * self.in_channels,
+                                dtype=self.dtype, name="hf_fusion")
         multiscale_fusion = _ConvBNRelu(
             self.dama_dim, in_features=self.levels * self.dama_dim,
             dtype=self.dtype, name="multiscale_fusion")
@@ -168,7 +172,7 @@ class MWT(nn.Module):
                                 dtype=self.dtype, name="freq_conv")
 
         current = x
-        mergeds: List[jax.Array] = []
+        hfs: List[jax.Array] = []
         for lvl in range(self.levels):
             ll, hf = self._dwt(current)
             if self.levels > 1 and hf.shape[1:3] != target:
@@ -176,19 +180,73 @@ class MWT(nn.Module):
                 hf = jax.image.resize(
                     hf, (n, target[0], target[1], hf.shape[-1]), method="bilinear"
                 ).astype(hf.dtype)
+            hfs.append(hf)
+            current = ll
+
+        def level_merged(hf):
+            """Per-level hf_sep stack: [N,H2,W2,3C] -> [N,H2,W2,18C]."""
             processed = []
             for i in range(3):
                 # slice = all 3 orientations of input channel i (mwt.py:85)
                 sl = hf[..., i * c : (i + 1) * c]
                 processed.append(hf_sep[i](sl, train=train))
-            mergeds.append(jnp.concatenate(processed, axis=-1))  # 18*C ch
-            current = ll
+            return jnp.concatenate(processed, axis=-1)
 
         fused_tail = (self.use_fused_tail and not train
                       and not return_intermediates
                       and target[0] % 2 == 0 and target[1] % 2 == 0
                       and target[0] // 2 >= 4)
-        if fused_tail:
+        fast_pyramid = (self.fused_eval_pyramid and not train
+                        and not return_intermediates and not fused_tail)
+        if fast_pyramid:
+            # Eval-mode fast path (same parameters, same math): the 9
+            # per-level/per-slice hf_sep convs are bandwidth-bound 3-channel
+            # ops (~850us/call of the 13ms v5e forward, BASELINE.md round-2
+            # trace) and the 3 shared-weight hf_fusion convs run at 63% of
+            # MXU peak. Stack the pyramid levels on the BATCH axis and apply
+            #   (a) ONE block-diagonal conv [3,3,3C,18C] == the 3 hf_sep
+            #       convs on their channel slices (zeros off-block), and
+            #   (b) ONE batched hf_fusion conv (weights are shared across
+            #       levels in the reference, mwt.py:47-65, so batching
+            #       levels is exact),
+            # with each eval-mode BN folded into the conv weights. Batch
+            # slices then feed the usual channel-concat -> multiscale conv,
+            # which XLA fuses exactly as in the per-level formulation.
+            def folded(mod):
+                kern, cbias, scale, shift = mod(mode="tail_params")
+                # round the kernel to the compute dtype BEFORE folding so the
+                # result is identical whether params arrive f32 or pre-cast
+                # (utils/params.cast_kernels_for_inference)
+                kf = kern.astype(self.dtype).astype(jnp.float32) * scale
+                bf = cbias.astype(jnp.float32) * scale + shift
+                return kf, bf
+
+            seps = [folded(hf_sep[i]) for i in range(3)]
+            big_k = jnp.zeros((3, 3, 3 * c, 18 * c), jnp.float32)
+            for i, (kf, _) in enumerate(seps):
+                big_k = big_k.at[:, :, i * c:(i + 1) * c,
+                                 i * 6 * c:(i + 1) * 6 * c].set(kf)
+            big_b = jnp.concatenate([bf for _, bf in seps])
+
+            stacked = jnp.concatenate(hfs, axis=0)  # [L*N, H2, W2, 3C]
+            sep = jax.lax.conv_general_dilated(
+                stacked.astype(self.dtype), big_k.astype(self.dtype),
+                (1, 1), _SYM(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            sep = nn.relu(sep + big_b.astype(self.dtype))
+
+            fk, fb = folded(hf_fusion)
+            hf_out = jax.lax.conv_general_dilated(
+                sep, fk.astype(self.dtype), (1, 1), _SYM(3),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            hf_out = nn.relu(hf_out + fb.astype(self.dtype))
+
+            high_freqs = [hf_out[lvl * n:(lvl + 1) * n]
+                          for lvl in range(self.levels)]
+            multi = jnp.concatenate(high_freqs, axis=-1)
+            fused = multiscale_fusion(multi, train=False)
+            freq = freq_conv(fused, train=False)
+        elif fused_tail:
+            mergeds = [level_merged(hf) for hf in hfs]
             # hf_fusion as 4 exact stride-2 phase convs per level (shared
             # weights), feeding the VMEM-resident Winograd multiscale kernel;
             # freq_conv consumes the phase-split result directly.
@@ -204,6 +262,7 @@ class MWT(nn.Module):
                 interpret=jax.default_backend() != "tpu")
             freq = freq_conv(tuple(fused_ph), train=False, mode="from_phases")
         else:
+            mergeds = [level_merged(hf) for hf in hfs]
             high_freqs = [hf_fusion(m, train=train) for m in mergeds]
             if return_intermediates:
                 inter["hf_level0"] = high_freqs[0]

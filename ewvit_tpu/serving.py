@@ -35,11 +35,14 @@ from ewvit_tpu.ops.preprocess import preprocess_batch
 class InferenceEngine:
     def __init__(self, model: DeepfakeDetector, variables, *,
                  mode: str = "dynamic", frame_chunk: int = 32):
+        from ewvit_tpu.utils.params import cast_kernels_for_inference
+
         self.model = model
-        self.variables = {
+        # bit-identical under bf16 compute; halves every large weight read
+        self.variables = cast_kernels_for_inference({
             k: v for k, v in variables.items()
             if k in ("params", "batch_stats")
-        }
+        }, model.cfg.compute_dtype)
         self.mode = mode
         self.frame_chunk = frame_chunk
         self._fwd = jax.jit(

@@ -50,6 +50,10 @@ def main():
     cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
     weights = None if args.weights in ("none", "") else args.weights
     model, variables = load_model(weights, cfg)
+    from ewvit_tpu.utils.params import cast_kernels_for_inference
+
+    # bit-identical under bf16 compute; halves every large weight read
+    variables = cast_kernels_for_inference(variables, cfg.compute_dtype)
 
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(variables["params"]))

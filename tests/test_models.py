@@ -70,6 +70,45 @@ def test_mwt_shapes(rng):
     assert y.shape == (2, 1, 1, 128)
 
 
+def test_mwt_fused_eval_pyramid_matches_per_level(rng):
+    """The batched-levels eval fast path (block-diagonal hf_sep conv +
+    batched hf_fusion with folded BN) must match the per-level formulation.
+    Same parameter tree, eval mode, f32."""
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    fast = MWT(dama_dim=128, levels=3, fused_eval_pyramid=True)
+    slow = MWT(dama_dim=128, levels=3, fused_eval_pyramid=False)
+    v = jax.jit(slow.init)(jax.random.PRNGKey(0), x)
+    y_fast = jax.jit(fast.apply)(v, x)
+    y_slow = jax.jit(slow.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_slow),
+                               rtol=1e-4, atol=1e-5)
+    # train mode ignores the flag entirely (identical program)
+    yt_fast, _ = fast.apply(v, x, train=True, mutable=["batch_stats"])
+    yt_slow, _ = slow.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(yt_fast), np.asarray(yt_slow))
+
+
+def test_cast_kernels_for_inference_is_bit_identical_under_compute_dtype(rng):
+    """Pre-casting large f32 kernels to the compute dtype must not change
+    outputs when the module already computes in that dtype."""
+    from ewvit_tpu.utils.params import cast_kernels_for_inference
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    m = MWT(dama_dim=128, levels=3, dtype=jnp.bfloat16)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    v_cast = cast_kernels_for_inference(v, "bfloat16", min_elems=1)
+    # at least the big conv kernels actually changed dtype
+    assert v_cast["params"]["multiscale_fusion"]["conv"]["kernel"].dtype == jnp.bfloat16
+    # batch_stats and BN params untouched
+    assert all(l.dtype == jnp.float32 for l in
+               jax.tree_util.tree_leaves(v_cast["batch_stats"]))
+    assert v_cast["params"]["hf_fusion"]["bn"]["scale"].dtype == jnp.float32
+    y = jax.jit(m.apply)(v, x)
+    y_cast = jax.jit(m.apply)(v_cast, x)
+    np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                  np.asarray(y_cast, np.float32))
+
+
 def test_mwt_batch_stats_update(rng):
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
     m = MWT(dama_dim=32, levels=2)
