@@ -42,13 +42,14 @@ def create_train_state(variables, tx) -> Tuple[TrainState, Any]:
 
 
 def _loss_fn(params, batch_stats, model, frames, labels, *, mode, frame_chunk,
-             pos_weight, epoch, max_epochs, rng, train, remat=True):
+             pos_weight, epoch, max_epochs, rng, train, remat=True,
+             remat_policy=None):
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     outputs, updates = video_forward(
         model, variables, frames, mode=mode, frame_chunk=frame_chunk,
-        train=train, rng=rng, remat=remat)
+        train=train, rng=rng, remat=remat, remat_policy=remat_policy)
     criterion = functools.partial(weighted_bce_with_logits,
                                   pos_weight=pos_weight)
     loss, parts = combined_loss(outputs, labels, criterion, epoch, max_epochs)
@@ -57,12 +58,11 @@ def _loss_fn(params, batch_stats, model, frames, labels, *, mode, frame_chunk,
     return loss, (new_stats, parts, preds)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "tx", "mode", "frame_chunk", "accum_steps",
-                     "remat"),
-)
-def train_step(
+_STEP_STATICS = ("model", "tx", "mode", "frame_chunk", "accum_steps",
+                 "remat", "remat_policy", "unroll", "grad_dtype")
+
+
+def _train_step_impl(
     state: TrainState,
     frames: jax.Array,      # [accum_steps * B, K, H, W, C]
     labels: jax.Array,      # [accum_steps * B]
@@ -77,12 +77,20 @@ def train_step(
     epoch: jax.Array | int = 0,
     max_epochs: int = 30,
     remat: bool = True,
+    remat_policy: Optional[str] = None,
+    unroll: int = 1,
+    grad_dtype: Optional[str] = None,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer update over ``accum_steps`` micro-batches.
 
     ``remat``: rematerialize per-frame-chunk activations in the backward
     (ModelConfig.remat_frames; trades ~1 extra forward for O(chunk) instead
-    of O(K) activation memory).
+    of O(K) activation memory). ``remat_policy``: None (save nothing),
+    'dots' (save matmul/conv outputs), see models/detector.py.
+    ``unroll``: unroll factor for the micro-batch accumulation scan (lets
+    XLA overlap/fuse across micro-batches at the cost of program size).
+    ``grad_dtype``: accumulate gradients in this dtype ('bfloat16' halves
+    the accumulator traffic; the optimizer update still runs in f32).
     """
     g = accum_steps
     bt = frames.shape[0]
@@ -91,6 +99,7 @@ def train_step(
     mb_frames = frames.reshape(g, b, *frames.shape[1:])
     mb_labels = labels.reshape(g, b)
     keys = jax.random.split(rng, g)
+    acc_dt = jnp.dtype(grad_dtype) if grad_dtype else jnp.float32
 
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
@@ -100,21 +109,25 @@ def train_step(
         (loss, (bstats, parts, preds)), grads = grad_fn(
             state.params, bstats, model, fr, lb, mode=mode,
             frame_chunk=frame_chunk, pos_weight=pos_weight, epoch=epoch,
-            max_epochs=max_epochs, rng=key, train=True, remat=remat)
-        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            max_epochs=max_epochs, rng=key, train=True, remat=remat,
+            remat_policy=remat_policy)
+        gsum = jax.tree_util.tree_map(
+            lambda a, x: a + x.astype(acc_dt), gsum, grads)
         return (bstats, gsum, loss_sum + loss, cls_sum + parts["cls_loss"],
                 orth_sum + parts["orth_loss"]), preds.reshape(-1)
 
     gzero = jax.tree_util.tree_map(
-        lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
+        lambda p: jnp.zeros_like(p, dtype=acc_dt), state.params)
     (bstats, gsum, loss_sum, cls_sum, orth_sum), preds = jax.lax.scan(
         micro,
         (state.batch_stats, gzero, jnp.zeros((), jnp.float32),
          jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
         (mb_frames, mb_labels, keys),
+        unroll=unroll,
     )
     # mean gradient over micro-batches == reference's loss/accum_steps scaling
-    grads = jax.tree_util.tree_map(lambda x: x / g, gsum)
+    grads = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) / g, gsum)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(params, bstats, opt_state, state.step + 1)
@@ -123,6 +136,19 @@ def train_step(
     metrics = {"loss": loss_sum / g, "cls_loss": cls_sum / g,
                "orth_loss": orth_sum / g, "preds": preds.reshape(-1)}
     return new_state, metrics
+
+
+train_step = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS)(_train_step_impl)
+
+# Donating variant: the input TrainState's buffers (params + opt state,
+# ~1.8 GB for the flagship model) are reused for the output state, saving
+# the copy and halving peak state memory. The caller must NOT touch the
+# old state afterwards — Trainer always replaces it; tests that reuse a
+# state across calls use the non-donating ``train_step``.
+train_step_donated = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS,
+    donate_argnums=(0,))(_train_step_impl)
 
 
 @functools.partial(

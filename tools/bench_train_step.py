@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--mode", default="dynamic")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default=None, choices=[None, "dots"])
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="micro-batch scan unroll factor")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the TrainState buffers (in-place update)")
+    ap.add_argument("--bf16-grads", action="store_true",
+                    help="accumulate gradients in bfloat16")
     ap.add_argument("--n1", type=int, default=2)
     ap.add_argument("--n2", type=int, default=8)
     args = ap.parse_args()
@@ -44,7 +51,8 @@ def main() -> int:
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import init_detector
     from ewvit_tpu.train.optimizer import make_optimizer
-    from ewvit_tpu.train.steps import create_train_state, train_step
+    from ewvit_tpu.train.steps import (
+        create_train_state, train_step, train_step_donated)
 
     cfg = ModelConfig()
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
@@ -59,12 +67,16 @@ def main() -> int:
         jnp.dtype(cfg.compute_dtype))
     labels = jnp.ones((bt,), jnp.float32)
 
+    step_fn = train_step_donated if args.donate else train_step
+
     def step(st, rng):
-        st, metrics = train_step(
+        st, metrics = step_fn(
             st, frames, labels, rng, model=model, tx=tx, mode=args.mode,
             frame_chunk=args.chunk, accum_steps=args.accum,
             pos_weight=1.2, epoch=10, max_epochs=30,
-            remat=not args.no_remat)
+            remat=not args.no_remat, remat_policy=args.remat_policy,
+            unroll=args.unroll,
+            grad_dtype="bfloat16" if args.bf16_grads else None)
         return st, metrics
 
     def chain(n, st):
@@ -79,13 +91,25 @@ def main() -> int:
 
     _, st = chain(1, state)                # compile
     _, st = chain(args.n1, st)             # warm
-    t1 = min(chain(args.n1, st)[0] for _ in range(2))
-    t2 = min(chain(args.n2, st)[0] for _ in range(2))
+
+    def timed(n, st, reps=2):
+        # thread the state through every rep: with --donate the previous
+        # state's buffers are gone after each chain
+        ts = []
+        for _ in range(reps):
+            t, st = chain(n, st)
+            ts.append(t)
+        return min(ts), st
+
+    t1, st = timed(args.n1, st)
+    t2, st = timed(args.n2, st)
     per_step = (t2 - t1) / (args.n2 - args.n1)
     fps = bt * args.frames / per_step
     print(f"train_step ({args.mode}, B={args.batch} K={args.frames} "
           f"chunk={args.chunk} accum={args.accum} "
-          f"remat={not args.no_remat}): "
+          f"remat={not args.no_remat} policy={args.remat_policy} "
+          f"unroll={args.unroll} donate={args.donate} "
+          f"bf16_grads={args.bf16_grads}): "
           f"{per_step * 1e3:.1f} ms/step = {fps:.0f} frames/sec trained")
     return 0
 
