@@ -35,9 +35,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 2
-FRAMES = 32        # flattened chunk = BATCH * FRAMES = 64 == emb_dim cap
-FRAME_CHUNK = 32
-N_SHORT, N_LONG = 4, 24
+FRAMES = 64        # 2 scan chunks/call: amortizes per-call tunnel dispatch
+FRAME_CHUNK = 32   # flattened chunk = BATCH * FRAME_CHUNK = 64 == emb_dim cap
+N_SHORT, N_LONG = 2, 12
 NORTH_STAR_FPS = 5000.0
 
 
@@ -56,8 +56,12 @@ def main() -> int:
         jax.random.PRNGKey(1), (BATCH, FRAMES, size, size, 3),
         jnp.dtype(cfg.compute_dtype))
 
-    fwd = jax.jit(lambda v, c: video_forward(
-        model, v, c, mode="dynamic", frame_chunk=FRAME_CHUNK,
+    # serial dependency folded INSIDE the jit: the scalar add fuses into
+    # the clip's first consumers (DWT conv / backbone stem) instead of
+    # materializing a fresh 38 MB clip per call on the measurement path
+    fwd = jax.jit(lambda v, c, a: video_forward(
+        model, v, c + a.astype(c.dtype), mode="dynamic",
+        frame_chunk=FRAME_CHUNK,
         train=False, remat=False)[0]["logits"])
 
     def chain(n: int) -> float:
@@ -65,15 +69,20 @@ def main() -> int:
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            clip = base + acc.astype(base.dtype)   # serial dependency
-            acc = acc + fwd(variables, clip).astype(jnp.float32).sum() * 1e-9
+            acc = acc + fwd(variables, base, acc).astype(
+                jnp.float32).sum() * 1e-9          # serial dependency via acc
         float(np.asarray(acc))                      # forces full completion
         return time.perf_counter() - t0
 
     chain(1)          # compile forward + chain graph + pull path
     chain(N_SHORT)    # warm
-    t_short = min(chain(N_SHORT) for _ in range(2))
-    t_long = min(chain(N_LONG) for _ in range(2))
+    # min over 4 interleaved reps: between-process tunnel/clock drift is
+    # the dominant noise source (measured 4.3-5.0k f/s across processes on
+    # identical code); more reps tighten the within-process estimate
+    t_short = min(t for _ in range(2)
+                  for t in (chain(N_SHORT), chain(N_SHORT)))
+    t_long = min(t for _ in range(2)
+                 for t in (chain(N_LONG), chain(N_LONG)))
     per_call = (t_long - t_short) / (N_LONG - N_SHORT)
     frames_per_sec = BATCH * FRAMES / per_call
 

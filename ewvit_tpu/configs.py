@@ -99,9 +99,15 @@ class ModelConfig:
     use_pallas_dama: bool = False     # fused Pallas DAMA attention block
     use_fused_mwt_tail: bool = False  # Winograd MWT tail (inference only;
                                       # exact in fp32 — ops/mwt_tail.py)
-    fused_eval_pyramid: bool = True   # eval-mode batched-levels MWT pyramid
-                                      # (block-diag hf_sep + batched
-                                      # hf_fusion, folded BN — models/mwt.py)
+    fused_eval_pyramid: Any = "level"  # eval-mode MWT pyramid fast path
+                                      # (models/mwt.py): "level" = per-level
+                                      # block-diagonal hf_sep conv + folded
+                                      # eval-BN (measured +2-4% in-model,
+                                      # BASELINE.md round-2, default);
+                                      # True = levels also batched on the
+                                      # batch axis (measured NEGATIVE,
+                                      # -1.2ms/call); False = reference-
+                                      # structured per-level convs.
     use_pallas_dwse: bool = False     # fused depthwise+BN+SiLU+SE-mean
                                       # kernel (inference only — ops/dw_se.py)
     # Testability hook: a callable ``(dtype=..., name=...) -> nn.Module``

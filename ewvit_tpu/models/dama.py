@@ -40,7 +40,7 @@ class DAMA(nn.Module):
     use_pallas_dwt: bool = False
     use_pallas_dama: bool = False
     use_fused_mwt_tail: bool = False
-    fused_eval_pyramid: bool = True
+    fused_eval_pyramid: Any = "level"
     use_pallas_dwse: bool = False
     backbone_factory: Any = None  # test-only (ModelConfig.backbone_factory)
     dtype: Dtype = jnp.float32

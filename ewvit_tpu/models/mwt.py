@@ -136,7 +136,10 @@ class MWT(nn.Module):
     levels: int = 3
     use_pallas_dwt: bool = False
     use_fused_tail: bool = False
-    fused_eval_pyramid: bool = True
+    # False | True (levels batched on the batch axis) | "level" (per-level
+    # block-diagonal hf_sep conv, per-level hf_fusion on the contiguous
+    # result). Eval-only fast paths; see BASELINE.md round-2 measurements.
+    fused_eval_pyramid: Any = "level"
     dtype: Dtype = jnp.float32
 
     def _dwt(self, x):
@@ -227,21 +230,25 @@ class MWT(nn.Module):
                 big_k = big_k.at[:, :, i * c:(i + 1) * c,
                                  i * 6 * c:(i + 1) * 6 * c].set(kf)
             big_b = jnp.concatenate([bf for _, bf in seps])
-
-            stacked = jnp.concatenate(hfs, axis=0)  # [L*N, H2, W2, 3C]
-            sep = jax.lax.conv_general_dilated(
-                stacked.astype(self.dtype), big_k.astype(self.dtype),
-                (1, 1), _SYM(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            sep = nn.relu(sep + big_b.astype(self.dtype))
-
             fk, fb = folded(hf_fusion)
-            hf_out = jax.lax.conv_general_dilated(
-                sep, fk.astype(self.dtype), (1, 1), _SYM(3),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            hf_out = nn.relu(hf_out + fb.astype(self.dtype))
 
-            high_freqs = [hf_out[lvl * n:(lvl + 1) * n]
-                          for lvl in range(self.levels)]
+            def conv(x, k, b):
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                    _SYM(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return nn.relu(y + b.astype(self.dtype))
+
+            if self.fused_eval_pyramid == "level":
+                # per level: ONE block-diagonal hf_sep conv, then hf_fusion
+                # on its contiguous 18C-channel output (no batch stacking,
+                # no slicing — only the 3-source in-fusion concat goes away)
+                high_freqs = [conv(conv(hf, big_k, big_b), fk, fb)
+                              for hf in hfs]
+            else:
+                stacked = jnp.concatenate(hfs, axis=0)  # [L*N, H2, W2, 3C]
+                hf_out = conv(conv(stacked, big_k, big_b), fk, fb)
+                high_freqs = [hf_out[lvl * n:(lvl + 1) * n]
+                              for lvl in range(self.levels)]
             multi = jnp.concatenate(high_freqs, axis=-1)
             fused = multiscale_fusion(multi, train=False)
             freq = freq_conv(fused, train=False)

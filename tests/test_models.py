@@ -70,12 +70,14 @@ def test_mwt_shapes(rng):
     assert y.shape == (2, 1, 1, 128)
 
 
-def test_mwt_fused_eval_pyramid_matches_per_level(rng):
-    """The batched-levels eval fast path (block-diagonal hf_sep conv +
-    batched hf_fusion with folded BN) must match the per-level formulation.
-    Same parameter tree, eval mode, f32."""
+@pytest.mark.parametrize("mode", [True, "level"])
+def test_mwt_fused_eval_pyramid_matches_per_level(rng, mode):
+    """Both eval fast paths (block-diagonal hf_sep conv with folded BN;
+    'level' per-level form and True batched-levels form) must match the
+    reference-structured per-level formulation. Same parameter tree, eval
+    mode, f32."""
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
-    fast = MWT(dama_dim=128, levels=3, fused_eval_pyramid=True)
+    fast = MWT(dama_dim=128, levels=3, fused_eval_pyramid=mode)
     slow = MWT(dama_dim=128, levels=3, fused_eval_pyramid=False)
     v = jax.jit(slow.init)(jax.random.PRNGKey(0), x)
     y_fast = jax.jit(fast.apply)(v, x)
