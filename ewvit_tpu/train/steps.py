@@ -118,13 +118,16 @@ def _train_step_impl(
 
     gzero = jax.tree_util.tree_map(
         lambda p: jnp.zeros_like(p, dtype=acc_dt), state.params)
-    (bstats, gsum, loss_sum, cls_sum, orth_sum), preds = jax.lax.scan(
-        micro,
-        (state.batch_stats, gzero, jnp.zeros((), jnp.float32),
-         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
-        (mb_frames, mb_labels, keys),
-        unroll=unroll,
-    )
+    carry0 = (state.batch_stats, gzero, jnp.zeros((), jnp.float32),
+              jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    if g == 1:
+        # no accumulation: skip the scan machinery (loop staging + carried
+        # buffers cost real time for a length-1 loop)
+        (bstats, gsum, loss_sum, cls_sum, orth_sum), preds = micro(
+            carry0, (mb_frames[0], mb_labels[0], keys[0]))
+    else:
+        (bstats, gsum, loss_sum, cls_sum, orth_sum), preds = jax.lax.scan(
+            micro, carry0, (mb_frames, mb_labels, keys), unroll=unroll)
     # mean gradient over micro-batches == reference's loss/accum_steps scaling
     grads = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.float32) / g, gsum)

@@ -1,0 +1,113 @@
+"""Sharded-vs-unsharded numerical exactness of the training step.
+
+The mesh tests in test_train_stack.py check that distributed training *runs*;
+these check the stronger claim (VERDICT.md next-round #6): one `train_step`
+on an 8-device ('dcn','data','frames') mesh produces the same loss, the same
+predictions, and the same parameter update as the single-device run, for two
+different mesh shapes. Frame-axis sharding is exact by construction — frames
+never attend to each other and the video descriptor is a mean over K
+(/root/reference/network/dama.py:197-199) — and GSPMD preserves batch-reduce
+semantics (BN batch statistics, gradient mean) up to float reassociation.
+
+SGD (not Adam) is the optimizer under test so the parameter delta is linear
+in the gradient: post-step param comparison IS a gradient comparison, without
+Adam's sign-amplification of near-zero gradients making tolerances flaky.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ewvit_tpu.configs import ModelConfig
+from ewvit_tpu.models.detector import init_detector
+from ewvit_tpu.parallel.mesh import (
+    batch_sharding,
+    label_sharding,
+    make_mesh,
+    replicate_tree,
+)
+from ewvit_tpu.train.steps import TrainState, create_train_state, train_step
+
+CFG = ModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, variables = init_detector(CFG, jax.random.PRNGKey(0))
+    tx = optax.sgd(0.1)
+    state, _ = create_train_state(variables, tx)
+    return model, tx, state
+
+
+def _batch(rng):
+    # micro-batch 8 divides every dp-axis product used below (8 and 4);
+    # K = 2 chunks of frame_chunk so both the scan and 'frames'-axis
+    # sharding are exercised
+    b, k = 2 * 8, 2 * CFG.frame_chunk
+    s = CFG.arch.image_size
+    frames = jnp.asarray(
+        rng.standard_normal((b, k, s, s, 3)).astype(np.float32))
+    labels = jnp.asarray((np.arange(b) % 2).astype(np.float32))
+    return frames, labels
+
+
+def _step(state, frames, labels, model, tx):
+    return train_step(
+        state, frames, labels, jax.random.PRNGKey(7), model=model, tx=tx,
+        mode="dynamic", frame_chunk=CFG.frame_chunk, accum_steps=2,
+        pos_weight=1.3, epoch=1, max_epochs=2)
+
+
+@pytest.mark.parametrize("mesh_kwargs,frame_axis", [
+    # NOTE: accum_steps=1 over a multi-device mesh segfaults this host's
+    # XLA:CPU compiler at the tail of kernel codegen (reproduced standalone
+    # on (1,8,1) and (1,4,2) meshes, scan and direct forms alike; accum>=2
+    # compiles everywhere tried — see CLAUDE.md). _step uses accum_steps=2
+    # and both shapes below are probe-validated.
+    ({"data": 4, "frames": 2, "dcn": 1}, True),    # dp x frame-sharded
+    ({"data": 2, "frames": 2, "dcn": 2}, True),    # 2 slices x 2 dp x 2 fp
+])
+def test_sharded_train_step_matches_unsharded(setup, rng, mesh_kwargs,
+                                              frame_axis):
+    model, tx, state = setup
+    frames, labels = _batch(rng)
+
+    ref_state, ref_metrics = _step(state, frames, labels, model, tx)
+
+    mesh = make_mesh(**mesh_kwargs)
+    sh_state = TrainState(*replicate_tree(mesh, tuple(state)))
+    sh_frames = jax.device_put(
+        frames, batch_sharding(mesh, frame_axis=frame_axis))
+    sh_labels = jax.device_put(labels, label_sharding(mesh))
+    with mesh:
+        out_state, out_metrics = _step(sh_state, sh_frames, sh_labels,
+                                       model, tx)
+
+    np.testing.assert_allclose(
+        float(out_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-5, err_msg="loss diverged under sharding")
+    np.testing.assert_allclose(
+        np.asarray(out_metrics["preds"]), np.asarray(ref_metrics["preds"]),
+        rtol=1e-4, atol=1e-6, err_msg="preds diverged under sharding")
+
+    # param delta is -0.1 * grad (SGD): compare each leaf's update
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    flat_out = dict(jax.tree_util.tree_leaves_with_path(out_state.params))
+    flat_old = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    for path, ref_leaf in flat_ref:
+        ref_delta = np.asarray(ref_leaf - flat_old[path], np.float32)
+        out_delta = np.asarray(flat_out[path] - flat_old[path], np.float32)
+        scale = max(np.abs(ref_delta).max(), 1e-8)
+        np.testing.assert_allclose(
+            out_delta, ref_delta, rtol=0, atol=5e-4 * scale + 1e-9,
+            err_msg=f"gradient diverged under sharding at {path}")
+
+    # BN batch statistics must also agree (GSPMD global batch reduce)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.batch_stats),
+            jax.tree_util.tree_leaves_with_path(out_state.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            rtol=1e-4, atol=1e-6, err_msg=f"batch_stats diverged at {path}")

@@ -168,15 +168,24 @@ def test_trainer_fit_two_epochs(tmp_path):
 
 
 def test_trainer_with_data_parallel_mesh(tmp_path):
-    """Trainer over an 8-device CPU mesh (DP ≙ reference --multi-gpu)."""
+    """Trainer over an 8-device CPU mesh (DP ≙ reference --multi-gpu).
+
+    Mesh/accum choice is constrained by a host XLA:CPU compiler bug:
+    compiling the sharded train step with accum_steps=1 SEGFAULTS at the
+    tail of kernel codegen (reproduced standalone on (1,8,1) and (1,4,2)
+    meshes, in both the scan and the direct g==1 formulation), while
+    accum_steps>=2 compiles and runs on every shape tried. This test uses
+    the probe-validated (2,2,2)+accum=2 configuration; CLAUDE.md records
+    the investigation.
+    """
     from ewvit_tpu.data.pipeline import BatchLoader
     from ewvit_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh()  # all 8 virtual devices on 'data'
-    assert mesh.shape["data"] == 8
-    ds = _SyntheticDataset(n=8)
+    mesh = make_mesh(dcn=2, data=2, frames=2)
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "frames": 2}
+    ds = _SyntheticDataset(n=16)
     loader = BatchLoader(ds, batch_size=8, num_workers=0)
-    tcfg = TrainConfig(batch_size=8, epochs=1, accum_steps=1, frame_count=4)
+    tcfg = TrainConfig(batch_size=8, epochs=1, accum_steps=2, frame_count=4)
     trainer = Trainer(CFG, tcfg, pos_weight=1.0, steps_per_epoch=1,
                       mesh=mesh, log=lambda s: None)
     result = trainer.fit(loader, loader)
