@@ -93,6 +93,10 @@ def main():
     transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
                                crop=size)
     model, variables = load_model(args.model_path, cfg)
+    from ewvit_tpu.utils.params import cast_kernels_for_inference
+
+    # bit-identical under bf16 compute; halves every large weight read
+    variables = cast_kernels_for_inference(variables, cfg.compute_dtype)
     ev = dict(mode=args.ablation, frame_chunk=cfg.frame_chunk,
               compute_dtype=cfg.compute_dtype)
 

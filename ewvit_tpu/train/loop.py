@@ -64,12 +64,16 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        remat: bool = True,
         log: Callable[[str], None] = print,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.mode = mode
         self.pos_weight = float(pos_weight)
+        # remat=False trades O(K) activation memory for +13% measured train
+        # throughput (BASELINE.md round-2 lever table); safe for short clips
+        self.remat = remat
         self.log = log
         rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -167,7 +171,7 @@ class Trainer:
                 model=self.model, tx=self.tx, mode=self.mode,
                 frame_chunk=self.model_cfg.frame_chunk,
                 accum_steps=n_micro, pos_weight=self.pos_weight,
-                epoch=epoch, max_epochs=cfg.epochs)
+                epoch=epoch, max_epochs=cfg.epochs, remat=self.remat)
             losses.append(float(metrics["loss"]))
             cls_losses.append(float(metrics["cls_loss"]))
             orth_losses.append(float(metrics["orth_loss"]))

@@ -45,6 +45,10 @@ def parse_args():
                    help="Frames per scan step (memory micro-batch)")
     p.add_argument("--mode", type=str, default="dynamic",
                    choices=["dynamic", "sfe_only", "sfe_mwt"])
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-chunk rematerialization: +13%% measured "
+                        "train throughput for O(frame_count) activation "
+                        "memory (BASELINE.md lever table)")
     p.add_argument("--num-workers", type=int, default=4,
                    help="Host decode threads")
     p.add_argument("--tiny", action="store_true",
@@ -122,7 +126,8 @@ def main():
         model_cfg, train_cfg, mode=args.mode, pos_weight=pos_weight,
         steps_per_epoch=steps_per_epoch,
         checkpoint_dir=os.path.join(args.output, "checkpoints"),
-        rng=jax.random.PRNGKey(args.seed), mesh=mesh)
+        rng=jax.random.PRNGKey(args.seed), mesh=mesh,
+        remat=not args.no_remat)
 
     if args.resume:
         trainer.resume(args.resume)
