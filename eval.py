@@ -44,6 +44,12 @@ def parse_args():
     p.add_argument("--visualize", "--v", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--frame-chunk", type=int, default=16)
+    p.add_argument("--pos-mode", type=str, default="reference",
+                   choices=["reference", "tile"],
+                   help="must match the training config when the checkpoint "
+                        "was trained with pos_mode='tile'")
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="space-to-depth stem conv (exact; any checkpoint)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--tiny", action="store_true",
                    help="ModelConfig.tiny() (64px) — smoke tests / CI only")
@@ -86,9 +92,11 @@ def main():
     )
 
     if args.tiny:
-        cfg = ModelConfig.tiny()
+        cfg = ModelConfig.tiny().replace(
+            pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     else:
-        cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+        cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk,
+                          pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     size = cfg.arch.image_size
     transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
                                crop=size)

@@ -110,6 +110,17 @@ class ModelConfig:
                                       # structured per-level convs.
     use_pallas_dwse: bool = False     # fused depthwise+BN+SiLU+SE-mean
                                       # kernel (inference only — ops/dw_se.py)
+    use_s2d_stem: bool = False        # space-to-depth stem conv: exact
+                                      # rewrite of the 3-channel stride-2
+                                      # stems (models/efficientnet.py).
+                                      # Measured -4% in-model on v5e
+                                      # (BASELINE.md) — off by default.
+    pos_mode: str = "reference"       # "reference" = batch-indexed pos rows,
+                                      # hard cap flattened<=emb_dim (the
+                                      # reference quirk); "tile" = row i %
+                                      # emb_dim — identical below the cap,
+                                      # lifts it (serving flexibility; bigger
+                                      # chunks measured -6%, BASELINE.md)
     # Testability hook: a callable ``(dtype=..., name=...) -> nn.Module``
     # replacing the EfficientNet backbones everywhere. Used by the
     # reference-parity tests to compare full-detector logits against the

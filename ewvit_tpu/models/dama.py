@@ -42,6 +42,8 @@ class DAMA(nn.Module):
     use_fused_mwt_tail: bool = False
     fused_eval_pyramid: Any = "level"
     use_pallas_dwse: bool = False
+    use_s2d_stem: bool = False
+    pos_mode: str = "reference"
     backbone_factory: Any = None  # test-only (ModelConfig.backbone_factory)
     dtype: Dtype = jnp.float32
 
@@ -55,6 +57,7 @@ class DAMA(nn.Module):
             arch=self.arch, channels=1280, selected_efficient_net=1,
             feat_dim=self.dim, output_mode="feature_map",
             use_pallas_dwse=self.use_pallas_dwse,
+            use_s2d_stem=self.use_s2d_stem, pos_mode=self.pos_mode,
             backbone_factory=self.backbone_factory, dtype=self.dtype,
             name="sfe",
         )(frames, train=train)                       # [N, 1, 1, dim]

@@ -60,6 +60,7 @@ class DeepfakeDetector(nn.Module):
             use_fused_mwt_tail=c.use_fused_mwt_tail,
             fused_eval_pyramid=c.fused_eval_pyramid,
             use_pallas_dwse=c.use_pallas_dwse,
+            use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.mwt = MWT(
@@ -72,12 +73,14 @@ class DeepfakeDetector(nn.Module):
             arch=c.arch, channels=1280, selected_efficient_net=0,
             feat_dim=c.dama_dim, output_mode="feature_map",
             use_pallas_dwse=c.use_pallas_dwse,
+            use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.sfe_cls = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,
             feat_dim=c.dama_dim, output_mode="cls",
             use_pallas_dwse=c.use_pallas_dwse,
+            use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.fusion_gate_fc = nn.Dense(2, dtype=dt)
@@ -179,7 +182,7 @@ def video_forward(
       mode: ablation mode (static — one compiled program per mode).
       frame_chunk: frames per scan step; flattened chunk is B*frame_chunk
         (must stay <= ArchConfig.emb_dim for the reference positional
-        embedding quirk — see sfe.py).
+        embedding quirk unless cfg.pos_mode == "tile" — see sfe.py).
       train: enables dropout/droppath and BN batch statistics; BN running
         stats are carried through the scan and returned as updates.
       rng: base PRNG key for dropout/droppath when train=True.

@@ -110,7 +110,40 @@ class ConvBN(nn.Module):
     act: bool = True
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
+    s2d: bool = False   # space-to-depth formulation for stride-2 3x3 (exact)
     dtype: Dtype = jnp.float32
+
+    def _s2d_conv(self, x, kern):
+        """Stride-2 3x3 conv via 2x2 space-to-depth + a stride-1 2x2 conv.
+
+        Exact rewrite (same dot products, zero taps added): low-channel
+        stride-2 convs (the 3-channel stems) underfeed the MXU contracting
+        dimension (k*k*cin = 27); in s2d layout the same conv contracts over
+        2*2*4*cin = 48 with 4x fewer rows. Parameters are untouched — the
+        [3,3,cin,out] kernel is rearranged at call time, so checkpoints and
+        gradients are unchanged.
+        """
+        n, h, w, cin = x.shape
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * cin)
+        # direct-conv input row = 2*y + dy - pad_begin; in block coords
+        # (block A offset a) the row is 2*(y+A) + a, so dy = 2A + a - off.
+        off = 0 if self.tf_same else 1  # TF-SAME even-input pad is (0,1)
+        k4 = jnp.zeros((2, 2, 2, 2, cin, self.features), kern.dtype)
+        for A in (0, 1):
+            for a in (0, 1):
+                dy = 2 * A + a - off
+                if not 0 <= dy < 3:
+                    continue
+                for B in (0, 1):
+                    for b in (0, 1):
+                        dx = 2 * B + b - off
+                        if 0 <= dx < 3:
+                            k4 = k4.at[A, B, a, b].set(kern[dy, dx])
+        ks2d = k4.reshape(2, 2, 4 * cin, self.features)  # (a,b,i) chan order
+        bp = ((0, 1), (0, 1)) if self.tf_same else ((1, 0), (1, 0))
+        return jax.lax.conv_general_dilated(
+            xs, ks2d, (1, 1), bp, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, mode: str = "apply"):
@@ -130,12 +163,17 @@ class ConvBN(nn.Module):
             return kern.astype(jnp.float32), scale, shift
 
         x = x.astype(self.dtype)
-        x = jax.lax.conv_general_dilated(
-            x, kern.astype(self.dtype),
-            (self.stride, self.stride),
-            _pad_for(self.kernel, self.stride, self.tf_same),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if (self.s2d and self.kernel == 3 and self.stride == 2
+                and self.groups == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            x = self._s2d_conv(x, kern.astype(self.dtype))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, kern.astype(self.dtype),
+                (self.stride, self.stride),
+                _pad_for(self.kernel, self.stride, self.tf_same),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -280,13 +318,14 @@ class _EfficientNet(nn.Module):
     bn_momentum: float
     drop_connect_rate: float = 0.2
     use_pallas_dwse: bool = False
+    use_s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = ConvBN(self.stem_ch, 3, 2, tf_same=self.tf_same,
-                   bn_momentum=self.bn_momentum, dtype=self.dtype,
-                   name="stem")(x, train=train)
+                   bn_momentum=self.bn_momentum, s2d=self.use_s2d_stem,
+                   dtype=self.dtype, name="stem")(x, train=train)
         total = sum(c.repeats for c in self.blocks)
         idx = 0
         for si, cfg in enumerate(self.blocks):
@@ -316,6 +355,7 @@ class EfficientNetB0(nn.Module):
     """B0 feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:108-109)."""
 
     use_pallas_dwse: bool = False
+    use_s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -323,6 +363,7 @@ class EfficientNetB0(nn.Module):
         return _EfficientNet(
             B0_BLOCKS, stem_ch=32, head_ch=1280, tf_same=True,
             bn_momentum=0.99, use_pallas_dwse=self.use_pallas_dwse,
+            use_s2d_stem=self.use_s2d_stem,
             dtype=self.dtype, name="net")(x, train=train)
 
 
@@ -330,6 +371,7 @@ class EfficientNetV2S(nn.Module):
     """V2-S feature extractor: [N,224,224,3] -> [N,7,7,1280] (sfe.py:111-113)."""
 
     use_pallas_dwse: bool = False
+    use_s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -337,6 +379,7 @@ class EfficientNetV2S(nn.Module):
         return _EfficientNet(
             V2S_BLOCKS, stem_ch=24, head_ch=1280, tf_same=False,
             bn_momentum=0.9, use_pallas_dwse=self.use_pallas_dwse,
+            use_s2d_stem=self.use_s2d_stem,
             dtype=self.dtype, name="net")(x, train=train)
 
 

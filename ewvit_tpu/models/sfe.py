@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ewvit_tpu.configs import ArchConfig
@@ -44,6 +45,12 @@ class EfficientViT(nn.Module):
     feat_dim: int = 128
     output_mode: Optional[str] = None
     use_pallas_dwse: bool = False
+    use_s2d_stem: bool = False
+    # "reference": pos row = flattened batch index, hard error above emb_dim
+    # (the reference quirk, sfe.py:158-159). "tile": row = index % emb_dim —
+    # identical for flattened batches <= emb_dim, defined (and cheap) above
+    # it, so larger frame chunks can feed the MXU (TPU serving extension).
+    pos_mode: str = "reference"
     # test-only injection point (ModelConfig.backbone_factory)
     backbone_factory: Any = None
     dtype: Dtype = jnp.float32
@@ -57,11 +64,13 @@ class EfficientViT(nn.Module):
                 dtype=self.dtype, name="efficient_net")(img, train=train)
         elif self.selected_efficient_net == 0:
             feats = EfficientNetB0(
-                use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
+                use_pallas_dwse=self.use_pallas_dwse,
+                use_s2d_stem=self.use_s2d_stem, dtype=self.dtype,
                 name="efficient_net")(img, train=train)
         else:
             feats = EfficientNetV2S(
-                use_pallas_dwse=self.use_pallas_dwse, dtype=self.dtype,
+                use_pallas_dwse=self.use_pallas_dwse,
+                use_s2d_stem=self.use_s2d_stem, dtype=self.dtype,
                 name="efficient_net")(img, train=train)
 
         n, fh, fw, fc = feats.shape
@@ -80,17 +89,22 @@ class EfficientViT(nn.Module):
             [jnp.broadcast_to(cls, (n, 1, a.dim)).astype(y.dtype), y], axis=1
         )
 
-        if n > a.emb_dim:
+        if n > a.emb_dim and self.pos_mode != "tile":
             raise ValueError(
                 f"flattened batch {n} exceeds emb_dim={a.emb_dim}: the "
                 "reference's batch-indexed positional embedding "
-                "(sfe.py:158-159) only supports up to emb_dim rows"
+                "(sfe.py:158-159) only supports up to emb_dim rows "
+                "(pos_mode='tile' lifts the cap)"
             )
         pos = self.param(
             "pos_embedding", nn.initializers.normal(stddev=1.0),
             (a.emb_dim, 1, a.dim), jnp.float32,
         )
-        x = x + pos[:n].astype(x.dtype)
+        if self.pos_mode == "tile" and n > a.emb_dim:
+            rows = np.arange(n) % a.emb_dim   # static gather indices
+            x = x + pos[rows].astype(x.dtype)
+        else:
+            x = x + pos[:n].astype(x.dtype)
         x = nn.Dropout(a.emb_dropout)(x, deterministic=not train)
         x = Transformer(
             a.dim, a.depth, a.heads, a.dim_head, a.mlp_dim,

@@ -28,6 +28,12 @@ def parse_args():
     p.add_argument("--mode", type=str, default="dynamic",
                    choices=["dynamic", "sfe_only", "sfe_mwt"])
     p.add_argument("--frame-chunk", type=int, default=30)
+    p.add_argument("--pos-mode", type=str, default="reference",
+                   choices=["reference", "tile"],
+                   help="'tile' lifts the flattened<=emb_dim cap (row i %% "
+                        "emb_dim) so larger --frame-chunk values are allowed")
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="space-to-depth stem conv (exact rewrite)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of 5 runs "
                         "into DIR (view with tensorboard/xprof)")
@@ -47,7 +53,8 @@ def main():
     from ewvit_tpu.evaluation import load_model
     from ewvit_tpu.models.detector import video_forward
 
-    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk)
+    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk,
+                      pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     weights = None if args.weights in ("none", "") else args.weights
     model, variables = load_model(weights, cfg)
     from ewvit_tpu.utils.params import cast_kernels_for_inference

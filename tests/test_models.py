@@ -62,6 +62,65 @@ def test_efficientvit_batch_indexed_pos_embedding_quirk():
                jnp.zeros((ARCH.emb_dim + 1, 224, 224, 3), jnp.float32))
 
 
+@pytest.mark.parametrize("tf_same", [True, False])
+def test_s2d_stride2_conv_is_exact(rng, tf_same):
+    """The space-to-depth stride-2 3x3 formulation must equal the direct
+    conv: same parameter tree, identical math (only zero taps added)."""
+    from ewvit_tpu.models.efficientnet import ConvBN
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    direct = ConvBN(8, 3, 2, tf_same=tf_same)
+    s2d = ConvBN(8, 3, 2, tf_same=tf_same, s2d=True)
+    v = direct.init(jax.random.PRNGKey(0), x)
+    y_d = jax.jit(direct.apply)(v, x)
+    y_s = jax.jit(s2d.apply)(v, x)
+    assert y_s.shape == y_d.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d),
+                               rtol=1e-5, atol=1e-6)
+    # gradients flow through the kernel rearrangement identically
+    g_d = jax.grad(lambda v: jnp.sum(direct.apply(v, x) ** 2))(v)
+    g_s = jax.grad(lambda v: jnp.sum(s2d.apply(v, x) ** 2))(v)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g_d, g_s)
+
+
+def test_s2d_stem_full_backbone_exact(rng):
+    """use_s2d_stem flips only the stem formulation; backbone outputs match."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    base = EfficientNetV2S()
+    fast = EfficientNetV2S(use_s2d_stem=True)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0), x)
+    y_b = jax.jit(base.apply)(v, x)
+    y_f = jax.jit(fast.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pos_mode_tile_extends_the_reference_semantics():
+    """pos_mode='tile' equals 'reference' below the emb_dim cap and lifts
+    the cap above it (row i % emb_dim) instead of raising."""
+    arch = ArchConfig(image_size=32, patch_size=1, dim=16, depth=1,
+                      dim_head=8, heads=2, mlp_dim=16, emb_dim=4)
+    ref = EfficientViT(arch=arch, output_mode="feature_map", feat_dim=8)
+    tile = EfficientViT(arch=arch, output_mode="feature_map", feat_dim=8,
+                        pos_mode="tile")
+    x_small = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 32, 32, 3)).astype(np.float32))
+    v = ref.init(jax.random.PRNGKey(0), x_small)
+    np.testing.assert_array_equal(
+        np.asarray(tile.apply(v, x_small)), np.asarray(ref.apply(v, x_small)))
+
+    x_big = jnp.concatenate([x_small, x_small], axis=0)   # 8 > emb_dim=4
+    y_big = tile.apply(v, x_big)                           # must not raise
+    assert y_big.shape[0] == 8
+    # rows 4..7 reuse pos rows 0..3 -> identical outputs for identical frames
+    np.testing.assert_allclose(np.asarray(y_big[:4]), np.asarray(y_big[4:]),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="emb_dim"):
+        ref.apply(v, x_big)
+
+
 def test_mwt_shapes(rng):
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
     m = MWT(dama_dim=128, levels=3)

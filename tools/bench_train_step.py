@@ -44,6 +44,9 @@ def main() -> int:
                     help="donate the TrainState buffers (in-place update)")
     ap.add_argument("--bf16-grads", action="store_true",
                     help="accumulate gradients in bfloat16")
+    ap.add_argument("--pos-mode", default="reference",
+                    choices=["reference", "tile"])
+    ap.add_argument("--s2d-stem", action="store_true")
     ap.add_argument("--n1", type=int, default=2)
     ap.add_argument("--n2", type=int, default=8)
     args = ap.parse_args()
@@ -54,7 +57,7 @@ def main() -> int:
     from ewvit_tpu.train.steps import (
         create_train_state, train_step, train_step_donated)
 
-    cfg = ModelConfig()
+    cfg = ModelConfig(pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(variables["params"], lr=1e-4, weight_decay=1e-4,
                         epochs=30, steps_per_epoch=100)

@@ -49,6 +49,12 @@ def parse_args():
                    help="disable per-chunk rematerialization: +13%% measured "
                         "train throughput for O(frame_count) activation "
                         "memory (BASELINE.md lever table)")
+    p.add_argument("--pos-mode", type=str, default="reference",
+                   choices=["reference", "tile"],
+                   help="'tile' lifts the flattened<=emb_dim cap (row i %% "
+                        "emb_dim) so batch*frame_chunk can exceed emb_dim")
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="space-to-depth stem conv (exact rewrite)")
     p.add_argument("--num-workers", type=int, default=4,
                    help="Host decode threads")
     p.add_argument("--tiny", action="store_true",
@@ -78,10 +84,13 @@ def main():
     print(f"Devices: {jax.devices()}")
 
     if args.tiny:
-        model_cfg = ModelConfig.tiny()
+        model_cfg = ModelConfig.tiny().replace(
+            pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     else:
         model_cfg = ModelConfig(dama_dim=args.dim,
-                                frame_chunk=args.frame_chunk)
+                                frame_chunk=args.frame_chunk,
+                                pos_mode=args.pos_mode,
+                                use_s2d_stem=args.s2d_stem)
     size = model_cfg.arch.image_size
     transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
                                crop=size)
