@@ -50,6 +50,9 @@ def parse_args():
                         "was trained with pos_mode='tile'")
     p.add_argument("--s2d-stem", action="store_true",
                    help="space-to-depth stem conv (exact; any checkpoint)")
+    p.add_argument("--mesh", "--multi-chip", action="store_true",
+                   help="data-parallel eval over all local devices "
+                        "(batch sharded over the mesh, params replicated)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--tiny", action="store_true",
                    help="ModelConfig.tiny() (64px) — smoke tests / CI only")
@@ -107,6 +110,16 @@ def main():
     variables = cast_kernels_for_inference(variables, cfg.compute_dtype)
     ev = dict(mode=args.ablation, frame_chunk=cfg.frame_chunk,
               compute_dtype=cfg.compute_dtype)
+    if args.mesh:
+        from ewvit_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all local devices on the 'data' axis
+        dp = mesh.shape["dcn"] * mesh.shape["data"]
+        assert args.batch_size % dp == 0, (
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"mesh batch axes dcn*data = {dp}")
+        ev["mesh"] = mesh
+        print(f"Data-parallel eval mesh: {dict(mesh.shape)}")
 
     rows, confusions = [], {}
 

@@ -109,16 +109,33 @@ def evaluate(
     frame_chunk: int = 8,
     compute_dtype: str = "bfloat16",
     collect_outputs: bool = True,
+    mesh=None,
 ) -> Dict:
-    """Full-dataset eval: device forwards + host metrics (≙ eval.py:135-194)."""
+    """Full-dataset eval: device forwards + host metrics (≙ eval.py:135-194).
+
+    ``mesh``: a ('dcn','data','frames') Mesh (parallel/mesh.py) shards each
+    batch over ('dcn','data') with replicated params — data-parallel eval,
+    the reference's nn.DataParallel role. Exact: per-clip forwards are
+    independent, and the loader's ``pad_last`` keeps every batch at
+    batch_size (which must divide evenly over the mesh batch axes).
+    """
     from ewvit_tpu.data.pipeline import DevicePrefetcher
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
+    in_shard = None
+    if mesh is not None:
+        from ewvit_tpu.parallel.mesh import batch_sharding, replicate_tree
+
+        params = replicate_tree(mesh, params)
+        if batch_stats is not None:
+            batch_stats = replicate_tree(mesh, batch_stats)
+        in_shard = batch_sharding(mesh, frame_axis=False)
     losses, orth_losses, preds, labels = [], [], [], []
     remaining = len(loader.dataset) if hasattr(loader, "dataset") else None
     # H2D of batch N+1 overlaps batch N's forward; labels stay host-side.
-    for frames, lbls in DevicePrefetcher(loader, put_labels=False):
+    for frames, lbls in DevicePrefetcher(loader, sharding=in_shard,
+                                         put_labels=False):
         x = preprocess_batch(jnp.asarray(frames), train=False,
                              dtype_name=compute_dtype)
         out = eval_step(

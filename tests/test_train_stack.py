@@ -194,6 +194,30 @@ def test_trainer_with_data_parallel_mesh(tmp_path):
     assert np.isfinite(h["val"]["accuracy"])
 
 
+def test_evaluate_with_mesh_matches_single_device():
+    """Data-parallel evaluate() over the 8-device mesh is exact vs the
+    single-device path, including a padded tail batch (n=10, batch 8)."""
+    from ewvit_tpu.data.pipeline import BatchLoader
+    from ewvit_tpu.evaluation import evaluate
+    from ewvit_tpu.parallel.mesh import make_mesh
+
+    model, variables = init_detector(CFG, jax.random.PRNGKey(0))
+    ds = _SyntheticDataset(n=10)
+
+    def run(mesh):
+        loader = BatchLoader(ds, batch_size=8, num_workers=0, pad_last=True)
+        return evaluate(model, variables, loader, mode="dynamic",
+                        frame_chunk=CFG.frame_chunk,
+                        compute_dtype="float32", mesh=mesh)
+
+    base = run(None)
+    shard = run(make_mesh(dcn=2, data=4, frames=1))
+    assert shard["labels"] == base["labels"]
+    assert len(shard["preds"]) == 10
+    np.testing.assert_allclose(shard["preds"], base["preds"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_dcn_axis():
     """Multi-slice ('dcn','data','frames') mesh: shapes, shardings, and a
     sharded computation that matches the unsharded result (pod-scale DP —
