@@ -1,0 +1,111 @@
+"""Numerical backbone parity vs torch ORACLES of the third-party packages.
+
+The closest available stand-in for real pretrained-weight parity (no weights
+or packages in this environment — PARITY.md): tests/torch_backbones.py
+re-creates, in torch, the exact architectures the reference loads
+(/root/reference/network/sfe.py:108-113). Here their random-init state dicts
+are pushed through ``utils/torch_convert`` and the flax backbones must
+reproduce the torch eval forward numerically — exercising every conv/BN/SE
+layout transform, the TF-SAME vs symmetric padding split, and the
+running-stats mapping end to end.
+
+The oracles themselves are validated two independent ways before being
+trusted: their state_dict inventories must equal the hand-transcribed
+key/shape tables of tests/test_checkpoint_inventory.py, and their
+``named_parameters`` order must reproduce the reference's first-6 freeze
+policy (sfe.py:115-119) exactly as ``frozen_param_paths`` claims.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from ewvit_tpu.models.efficientnet import (
+    EfficientNetB0,
+    EfficientNetV2S,
+    frozen_param_paths,
+)
+from ewvit_tpu.utils.torch_convert import _convert_b0, _convert_v2s, _TreeBuilder
+from tests.test_checkpoint_inventory import b0_inventory, v2s_inventory
+from tests.torch_backbones import (
+    TorchEfficientNetB0,
+    TorchEfficientNetV2SFeatures,
+    randomize_bn_stats_,
+)
+
+
+def _build(variant: str, seed: int):
+    torch.manual_seed(seed)
+    oracle = (TorchEfficientNetB0() if variant == "b0"
+              else TorchEfficientNetV2SFeatures())
+    oracle.eval()
+    randomize_bn_stats_(oracle, seed + 1)
+    return oracle
+
+
+def _convert(oracle, variant: str):
+    sd = {f"bb.{k}": v.detach().numpy().copy()
+          for k, v in oracle.state_dict().items()}
+    b = _TreeBuilder(sd)
+    (_convert_b0 if variant == "b0" else _convert_v2s)(b, "bb", ())
+    assert b.missing == [], b.missing[:5]
+    unused = set(sd) - b.used
+    expected_unused = ({"bb._fc.weight", "bb._fc.bias"} if variant == "b0"
+                       else set())
+    assert unused == expected_unused, sorted(unused)[:5]
+    return {"params": b.params, "batch_stats": b.stats}
+
+
+@pytest.mark.parametrize("variant,size", [("b0", 56), ("v2s", 64)])
+def test_forward_parity_vs_torch_oracle(variant, size):
+    """Converted random-init oracle weights -> flax forward == torch forward.
+
+    B0 runs at 56px so the TF-SAME stride-2 convs hit odd intermediate sizes
+    (asymmetric padding actually asymmetric); V2-S at 64px covers the
+    symmetric-padding path.
+    """
+    oracle = _build(variant, seed=0)
+    variables = _convert(oracle, variant)
+
+    x = np.random.default_rng(7).standard_normal((2, size, size, 3))
+    x = x.astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    model = EfficientNetB0() if variant == "b0" else EfficientNetV2S()
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert scale > 1e-3, "degenerate oracle output"
+    rel = np.abs(got - ref).max() / scale
+    assert rel < 1e-3, f"{variant}: max rel diff {rel:.2e}"
+
+
+@pytest.mark.parametrize("variant", ["b0", "v2s"])
+def test_oracle_inventory_matches_transcription(variant):
+    """Oracle state_dict == the independently hand-transcribed inventory."""
+    oracle = _build(variant, seed=0)
+    inv = {}
+    (b0_inventory if variant == "b0" else v2s_inventory)(inv, "bb")
+    got = {f"bb.{k}": tuple(v.shape) for k, v in oracle.state_dict().items()}
+    assert set(got) == set(inv), (
+        f"only-oracle {sorted(set(got) - set(inv))[:5]} / "
+        f"only-transcription {sorted(set(inv) - set(got))[:5]}")
+    for k, shape in inv.items():
+        assert got[k] == tuple(shape), f"{k}: oracle {got[k]} vs {shape}"
+
+
+@pytest.mark.parametrize("variant", ["b0", "v2s"])
+def test_first6_freeze_policy_matches_torch_order(variant):
+    """frozen_param_paths == the first 6 of torch named_parameters (the
+    reference freezes by enumeration order, sfe.py:115-119)."""
+    oracle = _build(variant, seed=0)
+    first6 = [name for name, _ in oracle.named_parameters()][:6]
+    b = _TreeBuilder({})
+    (_convert_b0 if variant == "b0" else _convert_v2s)(b, "bb", ())
+    torch_to_flax = {t: p for t, coll, p, _ in b.entries if coll == "params"}
+    got = [torch_to_flax[f"bb.{n}"] for n in first6]
+    assert got == list(frozen_param_paths(variant))
