@@ -26,12 +26,17 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# name -> (ModelConfig.replace overrides, video_forward frame_chunk)
+# name -> (ModelConfig.replace overrides, frame_chunk, batch, frames)
+# batch/frames default to --batch/--frames when None: per-call dispatch
+# amortization is itself a variant axis (flattened B*chunk stays <= 64).
 VARIANTS = {
-    "default": ({}, 32),
-    "tile_chunk64": ({"pos_mode": "tile"}, 64),
-    "s2d_stem": ({"use_s2d_stem": True}, 32),
-    "tile64+s2d": ({"pos_mode": "tile", "use_s2d_stem": True}, 64),
+    "default": ({}, 32, None, None),
+    "tile_chunk64": ({"pos_mode": "tile"}, 64, None, None),
+    "s2d_stem": ({"use_s2d_stem": True}, 32, None, None),
+    "tile64+s2d": ({"pos_mode": "tile", "use_s2d_stem": True}, 64, None, None),
+    "b4_chunk16": ({}, 16, 4, None),
+    "b2_k128": ({}, 32, None, 128),
+    "b4_k128": ({}, 16, 4, 128),
 }
 
 BATCH = 2
@@ -55,21 +60,27 @@ def main() -> int:
     variables = cast_kernels_for_inference(variables, base_cfg.compute_dtype)
 
     size = base_cfg.arch.image_size
-    clip = jax.random.normal(
-        jax.random.PRNGKey(1), (BATCH, args.frames, size, size, 3),
+    max_b = max(VARIANTS[k][2] or BATCH for k in VARIANTS)
+    max_k = max(VARIANTS[k][3] or args.frames for k in VARIANTS)
+    base_clip = jax.random.normal(
+        jax.random.PRNGKey(1), (max_b, max_k, size, size, 3),
         jnp.dtype(base_cfg.compute_dtype))
 
     names = [k for k in VARIANTS if args.only is None or k in args.only]
-    fwds = {}
+    fwds, clips, shapes = {}, {}, {}
     for name in names:
-        overrides, chunk = VARIANTS[name]
+        overrides, chunk, b, k = VARIANTS[name]
+        b, k = b or BATCH, k or args.frames
+        shapes[name] = (b, k)
+        clips[name] = base_clip[:b, :k]
         model = create_detector(base_cfg.replace(**overrides))
         fwds[name] = jax.jit(
             lambda v, c, a, m=model, ck=chunk: video_forward(
                 m, v, c + a.astype(c.dtype), mode="dynamic", frame_chunk=ck,
                 train=False, remat=False)[0]["logits"])
 
-    def chain(fwd, n: int) -> float:
+    def chain(name, n: int) -> float:
+        fwd, clip = fwds[name], clips[name]
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
@@ -77,33 +88,37 @@ def main() -> int:
         float(np.asarray(acc))
         return time.perf_counter() - t0
 
-    # compile + warm each variant, and cross-check outputs agree
+    # compile + warm each variant, and cross-check outputs agree on the
+    # common [BATCH, frames] prefix (per-frame logits are batch-row local)
     outs = {}
     for name in names:
-        chain(fwds[name], 1)
-        chain(fwds[name], N_SHORT)
+        chain(name, 1)
+        chain(name, N_SHORT)
         outs[name] = np.asarray(
-            fwds[name](variables, clip, jnp.zeros((), jnp.float32)))
+            fwds[name](variables, clips[name], jnp.zeros((), jnp.float32)))
     ref = outs[names[0]]
     for name in names[1:]:
-        d = float(np.max(np.abs(outs[name] - ref)))
+        d = float(np.max(np.abs(outs[name][:ref.shape[0]] - ref)))
         print(f"# logits |Δ| vs {names[0]}: {name} = {d:.3e}"
-              + ("  (pos rows differ by design)" if "tile" in name else ""))
+              + ("  (pos rows differ by design)" if "tile" in name else "")
+              + ("  (clip-mean over different K differs by design)"
+                 if shapes[name][1] != shapes[names[0]][1] else ""))
 
     results = {name: {"short": [], "long": []} for name in names}
     for rep in range(args.reps):
         for name in names:
-            results[name]["short"].append(chain(fwds[name], N_SHORT))
+            results[name]["short"].append(chain(name, N_SHORT))
         for name in names:
-            results[name]["long"].append(chain(fwds[name], N_LONG))
+            results[name]["long"].append(chain(name, N_LONG))
 
-    print(f"# B={BATCH} K={args.frames} reps={args.reps} "
-          f"(min over reps, slope method)")
+    print(f"# reps={args.reps} (min over reps, slope method)")
     for name in names:
         t_s, t_l = min(results[name]["short"]), min(results[name]["long"])
         per_call = (t_l - t_s) / (N_LONG - N_SHORT)
-        fps = BATCH * args.frames / per_call
-        print(f"{name:>16s}: {per_call * 1e3:7.2f} ms/call  {fps:8.1f} f/s")
+        b, k = shapes[name]
+        fps = b * k / per_call
+        print(f"{name:>16s} (B={b} K={k:3d}): {per_call * 1e3:7.2f} ms/call"
+              f"  {fps:8.1f} f/s")
     return 0
 
 
