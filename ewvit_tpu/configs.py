@@ -121,6 +121,12 @@ class ModelConfig:
                                       # emb_dim — identical below the cap,
                                       # lifts it (serving flexibility; bigger
                                       # chunks measured -6%, BASELINE.md)
+    # Optional (b0_spec, v2s_spec) tuple of
+    # models.efficientnet.BackboneSpec overriding the backbone block stacks.
+    # None = the full B0/V2-S stacks. Used by :meth:`micro` so that tiny
+    # harness configs (driver multichip dryrun, wall-time-bounded tests)
+    # compile in seconds on XLA:CPU instead of ~18 minutes.
+    backbone_spec: Any = None
     # Testability hook: a callable ``(dtype=..., name=...) -> nn.Module``
     # replacing the EfficientNet backbones everywhere. Used by the
     # reference-parity tests to compare full-detector logits against the
@@ -147,6 +153,32 @@ class ModelConfig:
         )
         return cls(arch=arch, dama_dim=32, num_heads=2, levels=2,
                    frame_chunk=2, compute_dtype="float32")
+
+    @classmethod
+    def micro(cls) -> "ModelConfig":
+        """Micro-but-real config for compile-time-bounded harnesses.
+
+        Same component coverage as :meth:`tiny` (stem, MBConv+SE,
+        FusedMBConv, droppath residuals, ViT, DAMA cross-attention, MWT
+        pyramid, all three ablation heads) but the backbones are truncated
+        to 3 real blocks each (``B0_MICRO``/``V2S_MICRO``) so the FULL
+        sharded train step compiles on XLA:CPU in seconds — the driver's
+        ``dryrun_multichip`` timed out two rounds running on :meth:`tiny`
+        (full 16/40-block stacks x 3 backbone instances, ~18 min of
+        XLA:CPU compile on this 1-core host).
+
+        32px input: stem + two stride-2 stages land on a 4x4 feature map;
+        patch_size 4 keeps the reference's 1-patch invariant (sfe.py:121).
+        """
+        from ewvit_tpu.models.efficientnet import B0_MICRO, V2S_MICRO
+
+        arch = ArchConfig(
+            image_size=32, patch_size=4, dim=32, depth=1, dim_head=16,
+            heads=2, mlp_dim=32, emb_dim=64, dropout=0.1, emb_dropout=0.1,
+        )
+        return cls(arch=arch, dama_dim=16, num_heads=2, levels=2,
+                   frame_chunk=2, compute_dtype="float32",
+                   backbone_spec=(B0_MICRO, V2S_MICRO))
 
 
 @dataclasses.dataclass(frozen=True)

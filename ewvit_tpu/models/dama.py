@@ -44,6 +44,7 @@ class DAMA(nn.Module):
     use_pallas_dwse: bool = False
     use_s2d_stem: bool = False
     pos_mode: str = "reference"
+    backbone_spec: Any = None     # (b0, v2s) BackboneSpec pair (micro configs)
     backbone_factory: Any = None  # test-only (ModelConfig.backbone_factory)
     dtype: Dtype = jnp.float32
 
@@ -58,6 +59,7 @@ class DAMA(nn.Module):
             feat_dim=self.dim, output_mode="feature_map",
             use_pallas_dwse=self.use_pallas_dwse,
             use_s2d_stem=self.use_s2d_stem, pos_mode=self.pos_mode,
+            backbone_spec=self.backbone_spec,
             backbone_factory=self.backbone_factory, dtype=self.dtype,
             name="sfe",
         )(frames, train=train)                       # [N, 1, 1, dim]

@@ -61,6 +61,7 @@ class DeepfakeDetector(nn.Module):
             fused_eval_pyramid=c.fused_eval_pyramid,
             use_pallas_dwse=c.use_pallas_dwse,
             use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
+            backbone_spec=c.backbone_spec,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.mwt = MWT(
@@ -74,6 +75,7 @@ class DeepfakeDetector(nn.Module):
             feat_dim=c.dama_dim, output_mode="feature_map",
             use_pallas_dwse=c.use_pallas_dwse,
             use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
+            backbone_spec=c.backbone_spec,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.sfe_cls = EfficientViT(
@@ -81,6 +83,7 @@ class DeepfakeDetector(nn.Module):
             feat_dim=c.dama_dim, output_mode="cls",
             use_pallas_dwse=c.use_pallas_dwse,
             use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
+            backbone_spec=c.backbone_spec,
             backbone_factory=c.backbone_factory, dtype=dt,
         )
         self.fusion_gate_fc = nn.Dense(2, dtype=dt)
@@ -287,4 +290,45 @@ def init_detector(cfg: ModelConfig, rng: jax.Array, image_size: Optional[int] = 
     dummy = jnp.zeros((1, size, size, cfg.in_channels), _dtype_of(cfg))
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": rng}, dummy)
+    return model, variables
+
+
+def init_detector_fast(cfg: ModelConfig, seed: int = 0,
+                       image_size: Optional[int] = None):
+    """Shape-only init: ``jax.eval_shape`` the real initializer, fill host-side.
+
+    XLA:CPU compiles on this host go through a remote helper at ~130-400 ms
+    per program, so the real ``init_detector`` costs ~53 s even for
+    ``ModelConfig.micro()`` (100 distinct truncated-normal initializer
+    programs alone take 38 s). Harnesses that only need *a valid variable
+    tree* — the driver's multichip dryrun, wall-time-bounded regression
+    tests — use this instead: the variable tree is traced with zero
+    compiles and filled host-side (kernels ~ N(0, 0.02), biases 0,
+    scales 1, BN stats (0, 1)).
+
+    NOT for checkpoints, training runs, or parity tests: the fill ignores
+    fan-in scaling (lecun/variance-scaling semantics) — use
+    :func:`init_detector` there.
+    """
+    import numpy as np
+
+    model = create_detector(cfg)
+    size = image_size or cfg.arch.image_size
+    dummy = jax.ShapeDtypeStruct((1, size, size, cfg.in_channels),
+                                 _dtype_of(cfg))
+    shapes = jax.eval_shape(functools.partial(model.init, train=False),
+                            {"params": jax.random.PRNGKey(0)}, dummy)
+    rng = np.random.default_rng(seed)
+
+    def fill(path, sds):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("bias", "mean"):
+            arr = np.zeros(sds.shape, np.float32)
+        elif name in ("scale", "var"):
+            arr = np.ones(sds.shape, np.float32)
+        else:
+            arr = rng.normal(0.0, 0.02, sds.shape).astype(np.float32)
+        return jnp.asarray(arr, sds.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(fill, shapes)
     return model, variables

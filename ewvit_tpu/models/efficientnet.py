@@ -69,6 +69,45 @@ V2S_BLOCKS: Tuple[BlockCfg, ...] = (
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class BackboneSpec:
+    """Override for the backbone's block stack (hashable, jit-static-safe).
+
+    Used by small-but-real configs (ModelConfig.micro) that must compile
+    quickly on XLA:CPU — the full B0/V2-S stacks (16/40 blocks x 3 backbone
+    instances) take ~18 min to compile for an 8-device CPU mesh on a 1-core
+    host, which is what made the driver's multichip dryrun time out in
+    rounds 1-2. The truncated stacks keep every REAL component on the path:
+    stem, MBConv+SE, FusedMBConv, stride-2 downsampling, droppath residuals.
+    """
+
+    blocks: Tuple[BlockCfg, ...]
+    stem_ch: int
+    head_ch: int
+
+
+# Micro stacks: 3 real blocks each, two stride-2 stages after the stem so a
+# 32px input lands on a 4x4 feature map (patch_size 4 => the reference's
+# 1-patch invariant, sfe.py:121). B0 flavor keeps TF-SAME padding + SE-from-
+# input; V2-S flavor keeps symmetric padding + FusedMBConv early stages.
+B0_MICRO = BackboneSpec(
+    blocks=(
+        BlockCfg(1, 3, 1, 1, 8, 8),      # MBConv no-expand + SE + droppath
+        BlockCfg(1, 3, 2, 2, 8, 16),     # expand + stride-2 + SE
+        BlockCfg(1, 3, 2, 2, 16, 16),    # second stride-2 stage
+    ),
+    stem_ch=8, head_ch=32,
+)
+V2S_MICRO = BackboneSpec(
+    blocks=(
+        BlockCfg(1, 3, 1, 1, 8, 8, se_ratio=0.0, fused=True),   # FusedMBConv
+        BlockCfg(1, 3, 2, 2, 8, 16, se_ratio=0.0, fused=True),  # fused s2
+        BlockCfg(1, 3, 2, 2, 16, 16, se_ratio=0.25),            # MBConv + SE
+    ),
+    stem_ch=8, head_ch=32,
+)
+
+
 def _pad_for(kernel: int, stride: int, tf_same: bool):
     """'SAME' (TF asymmetric) for B0, symmetric (k-1)//2 for torchvision V2."""
     if tf_same:
@@ -356,12 +395,14 @@ class EfficientNetB0(nn.Module):
 
     use_pallas_dwse: bool = False
     use_s2d_stem: bool = False
+    spec: Optional[BackboneSpec] = None   # block-stack override (micro configs)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        s = self.spec or BackboneSpec(B0_BLOCKS, stem_ch=32, head_ch=1280)
         return _EfficientNet(
-            B0_BLOCKS, stem_ch=32, head_ch=1280, tf_same=True,
+            s.blocks, stem_ch=s.stem_ch, head_ch=s.head_ch, tf_same=True,
             bn_momentum=0.99, use_pallas_dwse=self.use_pallas_dwse,
             use_s2d_stem=self.use_s2d_stem,
             dtype=self.dtype, name="net")(x, train=train)
@@ -372,12 +413,14 @@ class EfficientNetV2S(nn.Module):
 
     use_pallas_dwse: bool = False
     use_s2d_stem: bool = False
+    spec: Optional[BackboneSpec] = None   # block-stack override (micro configs)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        s = self.spec or BackboneSpec(V2S_BLOCKS, stem_ch=24, head_ch=1280)
         return _EfficientNet(
-            V2S_BLOCKS, stem_ch=24, head_ch=1280, tf_same=False,
+            s.blocks, stem_ch=s.stem_ch, head_ch=s.head_ch, tf_same=False,
             bn_momentum=0.9, use_pallas_dwse=self.use_pallas_dwse,
             use_s2d_stem=self.use_s2d_stem,
             dtype=self.dtype, name="net")(x, train=train)

@@ -51,6 +51,10 @@ class EfficientViT(nn.Module):
     # identical for flattened batches <= emb_dim, defined (and cheap) above
     # it, so larger frame chunks can feed the MXU (TPU serving extension).
     pos_mode: str = "reference"
+    # Optional (b0_spec, v2s_spec) BackboneSpec pair overriding the block
+    # stacks (ModelConfig.backbone_spec; used by ModelConfig.micro so the
+    # multichip dryrun compiles fast on XLA:CPU).
+    backbone_spec: Any = None
     # test-only injection point (ModelConfig.backbone_factory)
     backbone_factory: Any = None
     dtype: Dtype = jnp.float32
@@ -65,12 +69,16 @@ class EfficientViT(nn.Module):
         elif self.selected_efficient_net == 0:
             feats = EfficientNetB0(
                 use_pallas_dwse=self.use_pallas_dwse,
-                use_s2d_stem=self.use_s2d_stem, dtype=self.dtype,
+                use_s2d_stem=self.use_s2d_stem,
+                spec=self.backbone_spec[0] if self.backbone_spec else None,
+                dtype=self.dtype,
                 name="efficient_net")(img, train=train)
         else:
             feats = EfficientNetV2S(
                 use_pallas_dwse=self.use_pallas_dwse,
-                use_s2d_stem=self.use_s2d_stem, dtype=self.dtype,
+                use_s2d_stem=self.use_s2d_stem,
+                spec=self.backbone_spec[1] if self.backbone_spec else None,
+                dtype=self.dtype,
                 name="efficient_net")(img, train=train)
 
         n, fh, fw, fc = feats.shape

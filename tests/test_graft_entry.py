@@ -10,10 +10,18 @@ fresh subprocess, so that failure mode can never ship silently again.
 import os
 import subprocess
 import sys
+import time
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver killed the round-2 dryrun by timeout (MULTICHIP_r02 rc=124,
+# still compiling at 3m19s). The micro config + shape-only init finish in
+# ~71 s on this 1-core host; these tests assert REAL wall time under a
+# bound comfortably below any observed driver limit, so a compile-time
+# regression fails HERE instead of in the driver's artifact.
+DRYRUN_WALL_LIMIT_S = 150.0
 
 
 def _run(code: str, timeout: float) -> subprocess.CompletedProcess:
@@ -29,14 +37,19 @@ def _run(code: str, timeout: float) -> subprocess.CompletedProcess:
 
 @pytest.mark.slow
 def test_dryrun_multichip_import_mode():
-    """Literally the driver's invocation: import + call, no script mode."""
+    """Literally the driver's invocation: import + call, wall-time-bounded."""
+    t0 = time.monotonic()
     proc = _run(
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
-        timeout=3000)
+        timeout=DRYRUN_WALL_LIMIT_S + 30)
+    wall = time.monotonic() - t0
     assert proc.returncode == 0, (
         f"driver-style dryrun failed\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr[-4000:]}")
     assert "dryrun_multichip ok" in proc.stdout
+    assert wall < DRYRUN_WALL_LIMIT_S, (
+        f"dryrun took {wall:.0f}s — over the {DRYRUN_WALL_LIMIT_S:.0f}s "
+        "bound; the driver WILL time this out (MULTICHIP rc=124)")
 
 
 @pytest.mark.slow
@@ -45,11 +58,14 @@ def test_dryrun_multichip_script_mode():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    t0 = time.monotonic()
     proc = subprocess.run(
         [sys.executable, "__graft_entry__.py", "8"], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=3000)
+        capture_output=True, text=True, timeout=DRYRUN_WALL_LIMIT_S + 30)
+    wall = time.monotonic() - t0
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip ok" in proc.stdout
+    assert wall < DRYRUN_WALL_LIMIT_S, f"dryrun took {wall:.0f}s"
 
 
 def test_entry_traces():
