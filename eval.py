@@ -178,6 +178,17 @@ def main():
         viz.roc(last["labels"], last["preds"])
         viz.precision_recall(last["labels"], last["preds"])
         viz.prediction_distribution(last["labels"], last["preds"])
+        # 5th reference eval plot (utils/visualization.py:102-121): per-batch
+        # orth losses expanded to one point per prediction (eval.py:157-169)
+        if last.get("orth_losses"):
+            per_batch = np.asarray(last["orth_losses"], np.float32)
+            bs = max(1, len(last["preds"]) // len(per_batch))
+            expanded = np.repeat(per_batch, bs)[:len(last["preds"])]
+            if len(expanded) < len(last["preds"]):
+                expanded = np.pad(expanded,
+                                  (0, len(last["preds"]) - len(expanded)),
+                                  mode="edge")
+            viz.orth_scatter(expanded, last["preds"])
 
 
 if __name__ == "__main__":

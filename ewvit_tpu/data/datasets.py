@@ -153,6 +153,9 @@ class FaceForensicsDataset(VideoFrameDataset):
         self.frame_count = frame_count
         self.transform = transform
         self.native_decode = native_decode
+        # stored-never-used, faithful to the reference (data_loader.py:23,
+        # :34 assigns self.compression but no code path reads it — the
+        # frame-dir layout carries no compression level)
         self.compression = compression
         self.methods = list(methods)
         self.single_method = single_method

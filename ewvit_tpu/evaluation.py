@@ -39,10 +39,31 @@ def load_model(model_path: Optional[str], cfg: Optional[ModelConfig] = None):
     """Build the detector and (optionally) restore checkpointed variables.
 
     Accepts best/epoch Orbax checkpoints produced by CheckpointManager
-    (tolerant layout handling ≙ eval.py:63-74). With ``model_path=None``
-    returns freshly-initialized variables (for smoke tests / benchmarks).
+    (tolerant layout handling ≙ eval.py:63-74), or a reference ``.pth``/
+    ``.pt`` torch checkpoint converted on the fly (any of the three layouts
+    the reference emits, train.py:306-319, incl. DataParallel prefixes).
+    With ``model_path=None`` returns freshly-initialized variables (for
+    smoke tests / benchmarks).
     """
     cfg = cfg or ModelConfig()
+    if model_path and model_path.endswith((".pth", ".pt")):
+        # torch checkpoint: the converted tree is complete (params +
+        # batch_stats; round-trip-tested), so skip the expensive init
+        from ewvit_tpu.models.detector import create_detector
+        from ewvit_tpu.utils.torch_convert import convert_checkpoint
+
+        converted, report = convert_checkpoint(model_path)
+        if report["missing_torch_keys"]:
+            raise ValueError(
+                f"{model_path}: {len(report['missing_torch_keys'])} torch "
+                "keys the converter expected are absent (first few: "
+                f"{report['missing_torch_keys'][:5]}) — not a DeepfakeDetector "
+                "checkpoint?")
+        if report["unmapped_torch_keys"]:
+            print(f"Warning: {len(report['unmapped_torch_keys'])} torch keys "
+                  f"unmapped (e.g. {report['unmapped_torch_keys'][:3]})")
+        converted = jax.tree_util.tree_map(jnp.asarray, converted)
+        return create_detector(cfg), converted
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     if model_path:
         import orbax.checkpoint as ocp
@@ -131,27 +152,37 @@ def evaluate(
         if batch_stats is not None:
             batch_stats = replicate_tree(mesh, batch_stats)
         in_shard = batch_sharding(mesh, frame_axis=False)
-    losses, orth_losses, preds, labels = [], [], [], []
+    orth_losses, preds, labels = [], [], []
+    loss_sum, n_total = 0.0, 0
     remaining = len(loader.dataset) if hasattr(loader, "dataset") else None
     # H2D of batch N+1 overlaps batch N's forward; labels stay host-side.
     for frames, lbls in DevicePrefetcher(loader, sharding=in_shard,
                                          put_labels=False):
+        n = len(lbls)
+        if remaining is not None:  # pad_last rows in the tail batch
+            n = min(n, remaining)
+            remaining -= n
+        # mask keeps pad rows out of BOTH loss terms (same shape every
+        # batch => still one compiled eval_step)
+        valid = jnp.asarray(np.arange(len(lbls)) < n, jnp.float32)
         x = preprocess_batch(jnp.asarray(frames), train=False,
                              dtype_name=compute_dtype)
         out = eval_step(
-            params, batch_stats, x, jnp.asarray(lbls, jnp.float32),
+            params, batch_stats, x, jnp.asarray(lbls, jnp.float32), valid,
             model=model, mode=mode, frame_chunk=frame_chunk)
-        losses.append(float(out["loss"]))
+        # dataset mean = sum of per-row losses / N (≙ eval.py:162, :172:
+        # the reference weights each batch's mean by its true batch size)
+        loss_sum += float(out["loss"]) * n
+        n_total += n
         orth_losses.append(float(out["orth_loss"]))
-        n = len(lbls)
-        if remaining is not None:  # trim pad_last rows from the tail batch
-            n = min(n, remaining)
-            remaining -= n
         preds.extend(np.asarray(out["preds"])[:n].tolist())
         labels.extend(np.asarray(lbls)[:n].tolist())
     results = binary_metrics(
-        labels, preds, loss=float(np.mean(losses)) if losses else None)
+        labels, preds, loss=loss_sum / n_total if n_total else None)
     results["orth_loss"] = float(np.mean(orth_losses)) if orth_losses else 0.0
+    # per-batch series for the orthogonality-vs-prediction scatter
+    # (≙ eval.py:157-158 collection, utils/visualization.py:102-121)
+    results["orth_losses"] = orth_losses
     if collect_outputs:
         results["preds"] = preds
         results["labels"] = labels

@@ -24,6 +24,7 @@ from flax import linen as nn
 from ewvit_tpu.configs import ArchConfig
 from ewvit_tpu.models.layers import BidirectionalCrossTransformer
 from ewvit_tpu.models.mwt import MWT
+from ewvit_tpu.models.norm import TorchBatchNorm
 from ewvit_tpu.models.sfe import EfficientViT
 
 Dtype = Any
@@ -98,9 +99,9 @@ class DAMA(nn.Module):
         concat = jnp.concatenate([space_feats, freq_feats], axis=-1)
         fused = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="fusion_gate_conv")(concat)
-        fused = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name="fusion_gate_bn")(fused)
+        fused = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype,
+                               name="fusion_gate_bn")(fused)
         fused = nn.relu(fused)
 
         # 3-way softmax gate over GAP'd concat (dama.py:105-113, :156-157)

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ewvit_tpu.models.norm import TorchBatchNorm
 from ewvit_tpu.ops.dw_se import dw_bn_silu_mean
+from ewvit_tpu.ops.dwconv import depthwise_conv
 
 Dtype = Any
 
@@ -191,9 +193,9 @@ class ConvBN(nn.Module):
                        name="conv")()
         if mode == "params":
             assert not train, "ConvBN params mode is inference-only"
-            bn = nn.BatchNorm(use_running_average=True,
-                              momentum=self.bn_momentum, epsilon=self.bn_eps,
-                              dtype=jnp.float32, name="bn")
+            bn = TorchBatchNorm(use_running_average=True,
+                                momentum=self.bn_momentum, epsilon=self.bn_eps,
+                                dtype=jnp.float32, name="bn")
             probe = jnp.zeros((1, 1, 1, self.features), jnp.float32)
             y0 = bn(probe)
             y1 = bn(probe + 1)
@@ -206,6 +208,13 @@ class ConvBN(nn.Module):
                 and self.groups == 1
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             x = self._s2d_conv(x, kern.astype(self.dtype))
+        elif self.groups > 1 and self.groups == x.shape[-1]:
+            # depthwise: SPMD-exact custom backward — the native
+            # batch_group_count filter-grad conv is miscompiled by GSPMD
+            # under partially-sharded batches (ops/dwconv.py)
+            x = depthwise_conv(
+                x, kern.astype(self.dtype), self.stride,
+                _pad_for(self.kernel, self.stride, self.tf_same))
         else:
             x = jax.lax.conv_general_dilated(
                 x, kern.astype(self.dtype),
@@ -213,7 +222,7 @@ class ConvBN(nn.Module):
                 _pad_for(self.kernel, self.stride, self.tf_same),
                 feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,

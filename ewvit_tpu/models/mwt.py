@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ewvit_tpu.models.norm import TorchBatchNorm
 from ewvit_tpu.ops.haar import haar_dwt2d_conv, haar_dwt2d_pallas
 from ewvit_tpu.ops.mwt_tail import (
     freq_from_phases,
@@ -95,8 +96,8 @@ class _ConvBNRelu(nn.Module):
                 else x.shape[-1])
         kern, cbias = _ConvParams(self.features, in_f, self.kernel,
                                   name="conv")()
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="bn")
+        bn = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn")
         if mode == "tail_params":
             probe = jnp.zeros((1, 1, 1, self.features), self.dtype)
             y0 = bn(probe)

@@ -1,0 +1,74 @@
+"""BatchNorm with torch running-statistics semantics.
+
+flax ``nn.BatchNorm`` updates the running variance with the BIASED batch
+variance (``E[x^2] - E[x]^2`` over the batch); torch updates it with the
+UNBIASED (Bessel-corrected) sample variance — ``var * n / (n - 1)`` — while
+still *normalizing* the batch with the biased one (torch BatchNorm docs;
+aten Normalization.cpp). Every BN in the reference is a torch BN
+(/root/reference/network/mwt.py:50-71, dama.py:126, sfe via the backbone
+packages), so train-trajectory parity requires the torch update rule.
+
+At CNN spatial sizes the n/(n-1) factor is negligible, but several of this
+model's BNs sit on 1x1 feature maps where n is the flattened frame chunk
+(4-16 rows): their running vars drift by up to 1.33x per update under the
+flax rule — a silent train-mode divergence (VERDICT round-2 ragged-tail BN
+investigation).
+
+:class:`TorchBatchNorm` matches flax's numerics everywhere else: statistics
+and normalization are computed in float32 (flax ``_compute_stats`` /
+``_normalize`` promote to f32) and the output is cast to ``dtype``; the
+variable layout is identical (params ``scale``/``bias``, batch_stats
+``mean``/``var``) so checkpoints, the torch converter, and the BN-folding
+probes (ConvBN ``mode="params"``, mwt ``tail_params``) are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class TorchBatchNorm(nn.Module):
+    """Drop-in for ``nn.BatchNorm`` with torch's unbiased running-var update."""
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            # fast-variance formulation, clipped at 0 — same as flax
+            var = jnp.maximum(
+                0.0, jnp.mean(jnp.square(xf), axes) - jnp.square(mean))
+            if not self.is_initializing():
+                n = x.size // feat
+                corr = n / (n - 1) if n > 1 else 1.0   # Bessel (torch rule)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (var * corr)
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)

@@ -50,6 +50,11 @@ class EfficientViT(nn.Module):
     # (the reference quirk, sfe.py:158-159). "tile": row = index % emb_dim —
     # identical for flattened batches <= emb_dim, defined (and cheap) above
     # it, so larger frame chunks can feed the MXU (TPU serving extension).
+    # "row0": every row gets pos row 0 — the semantics every frame sees in
+    # the reference's PER-FRAME eval, where each frame is its own [1,1,...]
+    # clip so N=1 and pos[0:1] applies (plot_celebdf_roc.py:31-72); lets
+    # per-frame scoring batch B*K frames in one forward while staying
+    # bit-faithful to the reference's frame-at-a-time loop.
     pos_mode: str = "reference"
     # Optional (b0_spec, v2s_spec) BackboneSpec pair overriding the block
     # stacks (ModelConfig.backbone_spec; used by ModelConfig.micro so the
@@ -97,7 +102,7 @@ class EfficientViT(nn.Module):
             [jnp.broadcast_to(cls, (n, 1, a.dim)).astype(y.dtype), y], axis=1
         )
 
-        if n > a.emb_dim and self.pos_mode != "tile":
+        if n > a.emb_dim and self.pos_mode not in ("tile", "row0"):
             raise ValueError(
                 f"flattened batch {n} exceeds emb_dim={a.emb_dim}: the "
                 "reference's batch-indexed positional embedding "
@@ -108,7 +113,9 @@ class EfficientViT(nn.Module):
             "pos_embedding", nn.initializers.normal(stddev=1.0),
             (a.emb_dim, 1, a.dim), jnp.float32,
         )
-        if self.pos_mode == "tile" and n > a.emb_dim:
+        if self.pos_mode == "row0":
+            x = x + pos[0:1].astype(x.dtype)      # [1,1,dim] broadcast
+        elif self.pos_mode == "tile" and n > a.emb_dim:
             rows = np.arange(n) % a.emb_dim   # static gather indices
             x = x + pos[rows].astype(x.dtype)
         else:

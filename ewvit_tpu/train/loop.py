@@ -192,7 +192,6 @@ class Trainer:
     def eval_epoch(self, loader, epoch: Optional[int] = None,
                    max_epochs: Optional[int] = None) -> EpochResult:
         t0 = time.time()
-        losses = []
         preds, labels = [], []
         # pad_last loaders zero-pad the ragged tail batch; trim those rows so
         # padded samples never enter the metrics
@@ -202,24 +201,29 @@ class Trainer:
 
         prefetched = DevicePrefetcher(
             loader, sharding=self._frames_sharding(), put_labels=False)
+        loss_sum, n_total = 0.0, 0
         for frames, lbls in prefetched:
+            n = len(lbls)
+            if remaining is not None:
+                n = min(n, remaining)
+                remaining -= n
+            # pad rows are masked out of the loss terms too (not only the
+            # metrics) — reported val loss is pad_last-invariant
+            valid = jnp.asarray(np.arange(len(lbls)) < n, jnp.float32)
             x, lb = self._prep(frames, train=False, labels=lbls)
             out = eval_step(
-                self.state.params, self.state.batch_stats, x, lb,
+                self.state.params, self.state.batch_stats, x, lb, valid,
                 model=self.model, mode=self.mode,
                 frame_chunk=self.model_cfg.frame_chunk,
                 pos_weight=self.pos_weight,
                 epoch=epoch if epoch is not None else 1,
                 max_epochs=max_epochs if max_epochs is not None else 1)
-            losses.append(float(out["loss"]))
-            n = len(lbls)
-            if remaining is not None:
-                n = min(n, remaining)
-                remaining -= n
+            loss_sum += float(out["loss"]) * n
+            n_total += n
             preds.extend(np.asarray(out["preds"])[:n].tolist())
             labels.extend(np.asarray(lbls)[:n].tolist())
         m = binary_metrics(labels, preds,
-                           loss=float(np.mean(losses)) if losses else None)
+                           loss=loss_sum / n_total if n_total else None)
         m["preds"] = preds
         m["labels"] = labels
         return EpochResult(

@@ -78,18 +78,38 @@ def orth_lambda(epoch, max_epochs, start_frac: float = 0.2,
     return jnp.where(e < start_frac * m, 0.0, lam)
 
 
-def combined_loss(outputs: Dict, labels, criterion, epoch, max_epochs
-                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+def combined_loss(outputs: Dict, labels, criterion, epoch, max_epochs,
+                  valid_mask=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """cls loss + ramped orthogonality between space/freq feats (train.py:69-91).
 
     ``criterion`` is a callable (logits, targets) -> scalar. ``epoch`` may be a
     traced value; the gate is a jnp.where so the step stays jittable.
+
+    ``valid_mask`` (``[B]`` 0/1 floats, optional): excludes rows from BOTH
+    loss terms — used by the eval path to keep ``pad_last`` loader padding
+    out of reported losses. With a mask of ``n`` ones the result is
+    identical to computing on the first ``n`` rows alone: the cls loss
+    becomes a masked mean, and zeroed (row-normalized) feature rows
+    contribute nothing to the orthogonality cross-covariance, whose
+    normalization is by feature dim only (train.py:66).
     """
     logits = outputs["logits"]
     labels = labels.reshape(-1, 1).astype(jnp.float32)
-    cls_loss = criterion(logits, labels)
-    if "space" in outputs and "freq" in outputs:
-        loss_orth = orthogonal_loss(outputs["space"], outputs["freq"])
+    if valid_mask is None:
+        cls_loss = criterion(logits, labels)
+        space = outputs.get("space")
+        freq = outputs.get("freq")
+    else:
+        m = valid_mask.reshape(-1, 1).astype(jnp.float32)
+        per_row = criterion(logits, labels, reduction="none")
+        cls_loss = (per_row * m).sum() / jnp.maximum(m.sum(), 1.0)
+        space = outputs.get("space")
+        freq = outputs.get("freq")
+        if space is not None and freq is not None:
+            space = space * m
+            freq = freq * m
+    if space is not None and freq is not None:
+        loss_orth = orthogonal_loss(space, freq)
     else:
         loss_orth = jnp.asarray(0.0, jnp.float32)
     lam = orth_lambda(epoch, max_epochs)

@@ -212,6 +212,20 @@ def _convert_v2s(b: _TreeBuilder, t: str, f: Tuple[str, ...]):
     b.bn(f"{t}.features.7.1", n + ("head", "bn"))
 
 
+def _infer_depth(sd: Dict[str, np.ndarray], probe_fmt: str,
+                 default: int = 2) -> int:
+    """Count transformer layers present in a state dict (``{i}`` in
+    ``probe_fmt`` is the layer index). Empty/plan-building dicts keep the
+    reference default (depth 2, architecture.yaml:7) so conversion_plan()
+    and flax_to_torch export stay full-depth."""
+    if not sd:
+        return default
+    d = 0
+    while probe_fmt.format(i=d) in sd:
+        d += 1
+    return d or default
+
+
 def _convert_efficientvit(b: _TreeBuilder, t: str, f: Tuple[str, ...],
                           variant: str):
     """sfe.py:87-142 EfficientViT -> models.sfe.EfficientViT param tree."""
@@ -222,7 +236,9 @@ def _convert_efficientvit(b: _TreeBuilder, t: str, f: Tuple[str, ...],
     b.raw(f"{t}.pos_embedding", f + ("pos_embedding",))
     b.raw(f"{t}.cls_token", f + ("cls_token",))
     b.linear(f"{t}.patch_to_embedding", f + ("patch_to_embedding",))
-    _convert_transformer(b, f"{t}.transformer", f + ("transformer",))
+    depth = _infer_depth(b.sd, f"{t}.transformer.layers.{{i}}.0.norm.weight")
+    _convert_transformer(b, f"{t}.transformer", f + ("transformer",),
+                         depth=depth)
     b.linear(f"{t}.mlp_head.0", f + ("mlp_head_fc1",))
     b.linear(f"{t}.mlp_head.2", f + ("mlp_head_fc2",))
     b.linear(f"{t}.feat_map.0", f + ("feat_map",))
@@ -251,7 +267,9 @@ def _convert_dama(b: _TreeBuilder, t: str, f: Tuple[str, ...]):
     """dama.py:86-128 DAMA -> models.dama.DAMA param tree."""
     _convert_efficientvit(b, f"{t}.sfe", f + ("sfe",), "v2s")
     _convert_mwt(b, f"{t}.mwt", f + ("mwt",))
-    _convert_cross_transformer(b, f"{t}.cross_att", f + ("cross_att",))
+    _convert_cross_transformer(
+        b, f"{t}.cross_att", f + ("cross_att",),
+        depth=_infer_depth(b.sd, f"{t}.cross_att.layers.{{i}}.0.weight"))
     b.conv(f"{t}.fusion_gate.0", f + ("fusion_gate_conv",), bias=True)
     b.bn(f"{t}.fusion_gate.1", f + ("fusion_gate_bn",))
     b.linear(f"{t}.gate_net.2", f + ("gate_fc1",))

@@ -42,6 +42,41 @@ def parse_args():
     return p.parse_args()
 
 
+class PerFrameLoader:
+    """Expands clip batches to per-frame clips: ``[B,K,...] -> [B*K,1,...]``.
+
+    One score per frame of EVERY video — the reference's per-frame mode
+    runs each frame as its own [1,1,C,H,W] clip
+    (/root/reference/utils/plot_celebdf_roc.py:31-72, ``for n in range(N)``
+    per video). Batching all B*K frames into one forward is exact because
+    the model runs with ``pos_mode='row0'``: every row gets positional row
+    0, exactly what each frame sees in the reference's N=1 loop. Labels
+    repeat K times; row order is preserved, so ``evaluate``'s pad-row
+    trimming keeps working against the expanded dataset length.
+    """
+
+    class _Len:
+        def __init__(self, n):
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+    def __init__(self, loader, frame_count: int):
+        self._loader = loader
+        self.frame_count = frame_count
+        self.dataset = self._Len(len(loader.dataset) * frame_count)
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        for frames, labels in self._loader:
+            b, k = frames.shape[:2]
+            yield (frames.reshape(b * k, 1, *frames.shape[2:]),
+                   np.repeat(np.asarray(labels), k))
+
+
 def _load_baseline_csv(path: str):
     labels, scores = [], []
     with open(path) as f:
@@ -78,26 +113,41 @@ def main():
         assert args.root, "--root is required with --model-paths"
         cfg = (ModelConfig.tiny() if args.tiny
                else ModelConfig(dama_dim=args.dim))
+        if args.per_frame:
+            # per-frame scoring batches B*K single-frame clips; 'row0'
+            # reproduces the reference's N=1 positional row (see
+            # PerFrameLoader) and lifts the emb_dim flattened-batch cap
+            cfg = cfg.replace(pos_mode="row0")
         size = cfg.arch.image_size
         transform = FrameTransform(resize=max(1, round(size * 450 / 224)),
                                    crop=size)
         test_list = (args.test_list if os.path.isabs(args.test_list)
                      else os.path.join(args.root, args.test_list))
-        frame_count = 1 if args.per_frame else args.frame_count
         # one loader shared across models (≙ dataloader caching at :124-144)
         loader, ds = get_dataloader(
             args.root, "celeb-df", batch_size=args.batch_size,
-            frame_count=frame_count, test_list=test_list,
+            frame_count=args.frame_count, test_list=test_list,
             num_workers=args.num_workers, transform=transform)
-        print(f"Celeb-DF test: {len(ds)} videos (per_frame={args.per_frame})")
+        if args.per_frame:
+            loader = PerFrameLoader(loader, args.frame_count)
+            print(f"Celeb-DF test: {len(ds)} videos x {args.frame_count} "
+                  f"frames = {len(loader.dataset)} per-frame scores")
+        else:
+            print(f"Celeb-DF test: {len(ds)} videos (video-level)")
 
         for spec in args.model_paths:
             name, _, path = spec.rpartition("=")
             name = name or os.path.basename(path.rstrip("/"))
             model, variables = load_model(path, cfg)
             m = evaluate(model, variables, loader,
-                         frame_chunk=min(cfg.frame_chunk, frame_count),
+                         frame_chunk=(1 if args.per_frame
+                                      else min(cfg.frame_chunk,
+                                               args.frame_count)),
                          compute_dtype=cfg.compute_dtype)
+            if args.per_frame:
+                assert len(m["preds"]) == len(loader.dataset), (
+                    f"per-frame score count {len(m['preds'])} != "
+                    f"{len(loader.dataset)} total frames")
             fpr, tpr, _ = roc_curve(m["labels"], m["preds"])
             a = sk_auc(fpr, tpr)
             ax.plot(fpr, tpr, label=f"{name} (AUC={a:.4f})")

@@ -61,9 +61,15 @@ def _convert(oracle, variant: str):
 def test_forward_parity_vs_torch_oracle(variant, size):
     """Converted random-init oracle weights -> flax forward == torch forward.
 
-    B0 runs at 56px so the TF-SAME stride-2 convs hit odd intermediate sizes
-    (asymmetric padding actually asymmetric); V2-S at 64px covers the
-    symmetric-padding path.
+    B0 runs at 56px to exercise odd intermediate sizes through the
+    (dynamic) TF-SAME stride-2 convs; V2-S at 64px covers the
+    symmetric-padding path. Caveat (ADVICE round-2): the oracle implements
+    DYNAMIC TF-SAME, equal to efficientnet_pytorch's construction-time
+    static padding only at the construction image size — 224, the
+    production config. This test therefore verifies our flax padding ==
+    dynamic TF-SAME at 56px, and package fidelity holds at 224 where the
+    two padding schemes coincide (the asymmetric (0,1) pads there come
+    from the even stride-2 inputs, also exercised at 56).
     """
     oracle = _build(variant, seed=0)
     variables = _convert(oracle, variant)

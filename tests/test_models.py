@@ -121,6 +121,56 @@ def test_pos_mode_tile_extends_the_reference_semantics():
         ref.apply(v, x_big)
 
 
+def test_pos_mode_row0_reproduces_per_frame_reference_semantics():
+    """pos_mode='row0' batches what the reference's per-frame eval does one
+    frame at a time (/root/reference/utils/plot_celebdf_roc.py:31-72: each
+    frame is its own [1,1,C,H,W] clip, so N=1 and pos[0:1] applies): every
+    batched row must equal the same frame run alone in 'reference' mode,
+    and the emb_dim cap must not apply."""
+    arch = ArchConfig(image_size=32, patch_size=1, dim=16, depth=1,
+                      dim_head=8, heads=2, mlp_dim=16, emb_dim=4)
+    ref = EfficientViT(arch=arch, output_mode="feature_map", feat_dim=8)
+    row0 = EfficientViT(arch=arch, output_mode="feature_map", feat_dim=8,
+                        pos_mode="row0")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (6, 32, 32, 3)).astype(np.float32))        # 6 > emb_dim=4
+    v = ref.init(jax.random.PRNGKey(0), x[:1])
+    y = row0.apply(v, x)                           # must not raise
+    assert y.shape[0] == 6
+    for i in range(6):
+        yi = ref.apply(v, x[i:i + 1])              # the reference N=1 path
+        np.testing.assert_allclose(np.asarray(y[i:i + 1]), np.asarray(yi),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_micro_config_keeps_real_components(rng):
+    """ModelConfig.micro: truncated-but-real backbones (BackboneSpec), all
+    three ablation modes produce finite logits, ragged K exercises the
+    tail path; block inventory is exactly the 3 configured blocks per
+    backbone flavor."""
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.models.detector import init_detector_fast
+
+    cfg = ModelConfig.micro()
+    model, variables = init_detector_fast(cfg, seed=0)
+    # block inventory: 3 blocks in each backbone (B0 flavor under sfe,
+    # V2-S flavor under dama.sfe), with the right block types
+    b0 = variables["params"]["sfe"]["efficient_net"]["net"]
+    v2s = variables["params"]["dama"]["sfe"]["efficient_net"]["net"]
+    blocks = {k for k in b0 if k.startswith("block_")}
+    assert blocks == {"block_0_0", "block_1_0", "block_2_0"}
+    assert "se" in b0["block_0_0"]              # MBConv + SE
+    assert "fused_expand" in v2s["block_0_0"]   # FusedMBConv
+    assert "se" in v2s["block_2_0"]             # V2 MBConv + SE
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 32, 32, 3)).astype(np.float32))
+    for mode in ("dynamic", "sfe_only", "sfe_mwt"):
+        out, _ = video_forward(model, variables, x, mode=mode,
+                               frame_chunk=2, train=False, remat=False)
+        assert out["logits"].shape == (1, 1)
+        assert np.isfinite(np.asarray(out["logits"])).all()
+
+
 def test_mwt_shapes(rng):
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
     m = MWT(dama_dim=128, levels=3)

@@ -520,8 +520,9 @@ def test_full_detector_logit_parity_vs_reference(ref_detector, mode):
     """North-star check (BASELINE.md: logits within 1e-3) against the
     reference's own model.py, as far as this environment allows: stub
     backbones, everything else real, all three ablation forwards, K-frame
-    chunking with a ragged tail (K=4, chunk=2 on the reference side via its
-    batch_size micro-batching)."""
+    chunking (K=4, chunk=2 — evenly divisible; ragged-tail parity incl.
+    train-mode BN statistics is covered by
+    test_full_detector_train_mode_ragged_tail_parity)."""
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import DeepfakeDetector, video_forward
 
@@ -549,6 +550,73 @@ def test_full_detector_logit_parity_vs_reference(ref_detector, mode):
             np.testing.assert_allclose(
                 np.asarray(out[key]).reshape(2, 128),
                 t_out[key].numpy().reshape(2, 128), rtol=1e-3, atol=1e-3)
+
+
+def test_full_detector_train_mode_ragged_tail_parity(ref_detector, monkeypatch):
+    """TRAIN-mode parity on a RAGGED clip: K=5, chunk=2 => chunks [2,2,1].
+
+    The reference's eager loop runs a genuinely smaller tail chunk whose
+    BatchNorms see B*tail rows of batch statistics (dama.py:179-186,
+    model.py:103-105); video_forward must reproduce that (round-2 VERDICT
+    weak #2: zero-padding the tail polluted every BN's batch stats). This
+    asserts BOTH the logits and EVERY BN running statistic after one
+    train-mode forward — including dama.fusion_gate_bn, whose 1x1 feature
+    map makes the batch-row count (4 full / 2 tail) small enough that both
+    the tail raggedness and torch's unbiased running-var update
+    (models/norm.py) are observable.
+
+    Dropout is zeroed on both sides (the only stochastic difference at
+    play; the stub backbones have no droppath).
+    """
+    from ewvit_tpu.configs import ModelConfig
+    from ewvit_tpu.models.detector import DeepfakeDetector, video_forward
+
+    det = ref_detector
+    det.train()
+    for m in det.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    # .copy() is load-bearing: .numpy() returns VIEWS of the torch buffers,
+    # and the train-mode forward below mutates running stats IN PLACE — the
+    # "pre-forward" snapshot would silently become post-forward (CLAUDE.md
+    # zero-copy trap; same class as the adam test).
+    sd = {k: v.detach().cpu().numpy().copy()
+          for k, v in det.state_dict().items()}
+    variables = _convert_stub_detector(sd)
+
+    x = torch.randn(2, 5, 3, 224, 224,
+                    generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        t_out = det(x, batch_size=2, ablation="dynamic")
+    t_logits = t_out["logits"].detach().numpy().reshape(2)
+    sd_after = {k: v.detach().cpu().numpy()
+                for k, v in det.state_dict().items()}
+    t_stats = _convert_stub_detector(sd_after)["batch_stats"]
+
+    # flax dropout rates are hardcoded at the reference's values; identity
+    # them out for the deterministic comparison
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, x, deterministic=None, rng=None: x)
+    cfg = ModelConfig(compute_dtype="float32", frame_chunk=2,
+                      backbone_factory=StubBackboneFlax)
+    model = DeepfakeDetector(cfg)
+    out, upd = video_forward(
+        model, variables, jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2)),
+        mode="dynamic", frame_chunk=2, train=True,
+        rng=jax.random.PRNGKey(0), remat=False)
+
+    j_logits = np.asarray(out["logits"], np.float32).reshape(2)
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=1e-3)
+
+    j_flat = jax.tree_util.tree_leaves_with_path(upd["batch_stats"])
+    t_flat = dict(jax.tree_util.tree_leaves_with_path(t_stats))
+    assert j_flat and len(j_flat) == len(t_flat)
+    for path, leaf in j_flat:
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32), np.asarray(t_flat[path], np.float32),
+            rtol=1e-3, atol=1e-4,
+            err_msg=f"BN running stat diverged at {jax.tree_util.keystr(path)}")
 
 
 def test_adam_update_parity_vs_torch(ref):

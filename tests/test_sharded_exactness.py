@@ -33,6 +33,47 @@ from ewvit_tpu.train.steps import TrainState, create_train_state, train_step
 CFG = ModelConfig.tiny()
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_depthwise_filter_grad_exact_under_partial_sharding(stride):
+    """GSPMD (jax 0.9.0) miscompiles the batch_group_count filter-grad conv
+    of a depthwise conv whenever the batch shards over only PART of the
+    mesh: the grad comes back exactly (n_devices / n_batch_shards)x too big
+    — measured 2x on this (4,2) mesh, 4x inside the full detector (every
+    V2-S depthwise kernel, c_fit +4.0000). ops/dwconv.py replaces the
+    backward with per-tap multiply+reduce; this pins both the exactness
+    under the triggering sharding AND parity with the native autodiff
+    backward when unsharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ewvit_tpu.ops.dwconv import _conv, depthwise_conv
+
+    b, h, w_, c = 16, 8, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w_, c), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 1, c), jnp.float32)
+    pads = ((1, 1), (1, 1))
+
+    def loss(fn):
+        return lambda w_, x_: jnp.mean(jnp.square(fn(x_, w_, stride, pads)))
+
+    g_fixed = jax.jit(jax.grad(loss(depthwise_conv)))
+    g_native = jax.jit(jax.grad(loss(_conv)))
+
+    ref = np.asarray(g_native(w, x))
+    np.testing.assert_allclose(np.asarray(g_fixed(w, x)), ref,
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="fixed backward != native (unsharded)")
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "frames"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    with mesh:
+        sharded = np.asarray(g_fixed(ws, xs))
+    np.testing.assert_allclose(sharded, ref, rtol=1e-5, atol=1e-6,
+                               err_msg="filter grad diverged under the "
+                                       "partial-mesh sharding")
+
+
 @pytest.fixture(scope="module")
 def setup():
     model, variables = init_detector(CFG, jax.random.PRNGKey(0))
@@ -99,15 +140,43 @@ def test_sharded_train_step_matches_unsharded(setup, rng, mesh_kwargs,
     for path, ref_leaf in flat_ref:
         ref_delta = np.asarray(ref_leaf - flat_old[path], np.float32)
         out_delta = np.asarray(flat_out[path] - flat_old[path], np.float32)
-        scale = max(np.abs(ref_delta).max(), 1e-8)
+        scale = np.abs(ref_delta).max()
+        if scale < 1e-7:
+            # Mathematically-zero gradient (e.g. a conv bias immediately
+            # re-centered by a train-mode BN): both runs produce pure
+            # float-reassociation noise at ~1e-9, so an elementwise
+            # comparison is comparing noise against noise. Just pin both
+            # sides to zero.
+            assert np.abs(out_delta).max() < 1e-7, (
+                f"zero-grad leaf {path} got a real update under sharding")
+            continue
+        # Elementwise comparison must tolerate reassociation noise: grads
+        # feeding train-mode BN are near-zero residuals of heavily
+        # cancelling sums, so elements ~100x below the leaf max can carry
+        # f32 reassociation error comparable to their own magnitude once
+        # GSPMD reorders the batch/frame reductions (measured: up to 2e-2
+        # of leaf max on freq_conv's kernel). The per-leaf relative-L2
+        # bound is the systematic-error detector — a missing psum
+        # normalization or a polluted reduction shows up as relL2 ~ O(1),
+        # three orders above this bound.
+        rel_l2 = (np.linalg.norm(out_delta - ref_delta)
+                  / max(np.linalg.norm(ref_delta), 1e-12))
+        assert rel_l2 < 1e-2, (
+            f"gradient diverged under sharding at {path}: relL2={rel_l2:.3e}")
         np.testing.assert_allclose(
-            out_delta, ref_delta, rtol=0, atol=5e-4 * scale + 1e-9,
+            out_delta, ref_delta, rtol=0, atol=3e-2 * scale + 1e-9,
             err_msg=f"gradient diverged under sharding at {path}")
 
-    # BN batch statistics must also agree (GSPMD global batch reduce)
+    # BN batch statistics must also agree (GSPMD global batch reduce).
+    # atol: one update writes (1-momentum)=0.01-scaled batch stats, so the
+    # deepest BNs' near-zero running means sit at ~1e-4..1e-2 with f32
+    # reassociation error from the 8-way resharded batch reduce measured at
+    # 2.8e-6 absolute (identical across both mesh shapes — deterministic
+    # reduce-order difference vs the single-device sum, not a systematic
+    # error, which would scale with the stat itself and trip rtol).
     for (path, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(ref_state.batch_stats),
             jax.tree_util.tree_leaves_with_path(out_state.batch_stats)):
         np.testing.assert_allclose(
             np.asarray(b, np.float32), np.asarray(a, np.float32),
-            rtol=1e-4, atol=1e-6, err_msg=f"batch_stats diverged at {path}")
+            rtol=1e-4, atol=1e-5, err_msg=f"batch_stats diverged at {path}")

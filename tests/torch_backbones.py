@@ -55,8 +55,15 @@ V2S_STAGE_ARGS = [
 
 
 class _TFSameConv2d(nn.Conv2d):
-    """efficientnet_pytorch Conv2dStaticSamePadding: TF 'SAME' — total pad =
-    max((ceil(in/s)-1)*s + k - in, 0), split begin = total//2 (extra at end)."""
+    """DYNAMIC TF 'SAME' padding: total pad = max((ceil(in/s)-1)*s + k - in,
+    0), split begin = total//2 (extra at end), computed from the RUNTIME
+    input size. efficientnet_pytorch's Conv2dStaticSamePadding instead fixes
+    the pads at construction from image_size=224 — the two coincide exactly
+    when the model runs at its construction size (224, the production
+    config, and what the oracle tests use for B0), and can diverge at other
+    input sizes once stride-2 stages see odd/mismatched runtime sizes. The
+    'asymmetric' padding exercised at 224 comes from even inputs to the
+    stride-2 convs (pad (0,1) each side-pair), not from odd inputs."""
 
     def forward(self, x):
         ih, iw = x.shape[-2:]

@@ -59,14 +59,16 @@ def main() -> int:
     _, variables = init_detector(base_cfg, jax.random.PRNGKey(0))
     variables = cast_kernels_for_inference(variables, base_cfg.compute_dtype)
 
+    names = [k for k in VARIANTS if args.only is None or k in args.only]
     size = base_cfg.arch.image_size
-    max_b = max(VARIANTS[k][2] or BATCH for k in VARIANTS)
-    max_k = max(VARIANTS[k][3] or args.frames for k in VARIANTS)
+    # size the shared clip for the SELECTED variants only (a full-size
+    # (4,128,224,224,3) alloc is ~150 MB bf16 even when benchmarking
+    # small variants)
+    max_b = max(VARIANTS[k][2] or BATCH for k in names)
+    max_k = max(VARIANTS[k][3] or args.frames for k in names)
     base_clip = jax.random.normal(
         jax.random.PRNGKey(1), (max_b, max_k, size, size, 3),
         jnp.dtype(base_cfg.compute_dtype))
-
-    names = [k for k in VARIANTS if args.only is None or k in args.only]
     fwds, clips, shapes = {}, {}, {}
     for name in names:
         overrides, chunk, b, k = VARIANTS[name]
@@ -98,7 +100,10 @@ def main() -> int:
             fwds[name](variables, clips[name], jnp.zeros((), jnp.float32)))
     ref = outs[names[0]]
     for name in names[1:]:
-        d = float(np.max(np.abs(outs[name][:ref.shape[0]] - ref)))
+        # compare on the common batch prefix (either side may be smaller
+        # depending on --only ordering)
+        n = min(outs[name].shape[0], ref.shape[0])
+        d = float(np.max(np.abs(outs[name][:n] - ref[:n])))
         print(f"# logits |Δ| vs {names[0]}: {name} = {d:.3e}"
               + ("  (pos rows differ by design)" if "tile" in name else "")
               + ("  (clip-mean over different K differs by design)"
