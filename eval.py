@@ -45,9 +45,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--frame-chunk", type=int, default=16)
     p.add_argument("--pos-mode", type=str, default="reference",
-                   choices=["reference", "tile"],
+                   choices=["reference", "tile", "row0"],
                    help="must match the training config when the checkpoint "
-                        "was trained with pos_mode='tile'")
+                        "was trained with pos_mode='tile'; 'row0' matches "
+                        "plot_celebdf_roc.py --per-frame scoring")
     p.add_argument("--s2d-stem", action="store_true",
                    help="space-to-depth stem conv (exact; any checkpoint)")
     p.add_argument("--mesh", "--multi-chip", action="store_true",
@@ -65,6 +66,32 @@ def _row(name, m):
         "auc": m["auc"], "eer": m["eer"], "ap": m["ap"],
         "precision": m["precision"], "recall": m["recall"], "f1": m["f1"],
     }
+
+
+def _render_viz(viz_dir, m):
+    """Render the reference's 5 eval plots for one result dict.
+
+    Mirrors the reference's ``EvalVisualization.plot_metrics`` call sites
+    (/root/reference/eval.py:307, :319, :364, :431): confusion heatmap, ROC,
+    PR, prediction KDE, and the orth-loss-vs-prediction scatter (per-batch
+    orth losses expanded to one point per prediction, eval.py:157-169).
+    """
+    from ewvit_tpu.utils.visualization import EvalVisualization
+
+    os.makedirs(viz_dir, exist_ok=True)
+    viz = EvalVisualization(viz_dir)
+    viz.confusion(m["confusion_matrix"])
+    viz.roc(m["labels"], m["preds"])
+    viz.precision_recall(m["labels"], m["preds"])
+    viz.prediction_distribution(m["labels"], m["preds"])
+    if m.get("orth_losses"):
+        per_batch = np.asarray(m["orth_losses"], np.float32)
+        bs = max(1, len(m["preds"]) // len(per_batch))
+        expanded = np.repeat(per_batch, bs)[:len(m["preds"])]
+        if len(expanded) < len(m["preds"]):
+            expanded = np.pad(expanded, (0, len(m["preds"]) - len(expanded)),
+                              mode="edge")
+        viz.orth_scatter(expanded, m["preds"])
 
 
 def _export(output, rows, confusions):
@@ -122,6 +149,7 @@ def main():
         print(f"Data-parallel eval mesh: {dict(mesh.shape)}")
 
     rows, confusions = [], {}
+    viz_results = []  # (visualizations/<subdir>, result) pairs
 
     if args.dataset == "ff++":
         loader, _ = get_dataloader(
@@ -132,6 +160,7 @@ def main():
         print_metrics("FF++ overall", m)
         rows.append(_row("overall", m))
         confusions["overall"] = m["confusion_matrix"]
+        viz_results.append(("all_methods", m))  # reference eval.py:304-307
         for method in FF_METHODS:  # per-method loop (eval.py:245-261)
             loader, _ = get_dataloader(
                 args.root, "ff++", batch_size=args.batch_size,
@@ -141,6 +170,7 @@ def main():
             print_metrics(method, mm)
             rows.append(_row(method, mm))
             confusions[method] = mm["confusion_matrix"]
+            viz_results.append((method, mm))  # reference eval.py:310-319
         last = m
     elif args.dataset == "celeb-df":
         test_list = (args.test_list if os.path.isabs(args.test_list)
@@ -166,29 +196,24 @@ def main():
             print_metrics(f"diffusion/{name}", m)
             rows.append(_row(name, m))
             confusions[name] = m["confusion_matrix"]
+            # reference eval.py:416-431 renders one dir per method; the
+            # overall pass goes to all_methods/ for FF++ symmetry
+            viz_results.append(("all_methods" if method is None else method,
+                                m))
             last = last or m
 
     _export(args.output, rows, confusions)
 
-    if args.visualize and last is not None:
-        from ewvit_tpu.utils.visualization import EvalVisualization
-
-        viz = EvalVisualization(args.output)
-        viz.confusion(last["confusion_matrix"])
-        viz.roc(last["labels"], last["preds"])
-        viz.precision_recall(last["labels"], last["preds"])
-        viz.prediction_distribution(last["labels"], last["preds"])
-        # 5th reference eval plot (utils/visualization.py:102-121): per-batch
-        # orth losses expanded to one point per prediction (eval.py:157-169)
-        if last.get("orth_losses"):
-            per_batch = np.asarray(last["orth_losses"], np.float32)
-            bs = max(1, len(last["preds"]) // len(per_batch))
-            expanded = np.repeat(per_batch, bs)[:len(last["preds"])]
-            if len(expanded) < len(last["preds"]):
-                expanded = np.pad(expanded,
-                                  (0, len(last["preds"]) - len(expanded)),
-                                  mode="edge")
-            viz.orth_scatter(expanded, last["preds"])
+    if args.visualize:
+        if viz_results:  # ff++ / diffusion: visualizations/<name>/ per result
+            print("Generating evaluation visualizations...")
+            for name, m in viz_results:
+                _render_viz(os.path.join(args.output, "visualizations", name),
+                            m)
+            print(f"Saved visualizations to "
+                  f"{os.path.join(args.output, 'visualizations')}")
+        elif last is not None:  # celeb-df: plots directly in the output dir
+            _render_viz(args.output, last)  # reference eval.py:360-364
 
 
 if __name__ == "__main__":

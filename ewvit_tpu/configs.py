@@ -108,6 +108,11 @@ class ModelConfig:
                                       # batch axis (measured NEGATIVE,
                                       # -1.2ms/call); False = reference-
                                       # structured per-level convs.
+    fused_train_pyramid: bool = False  # train-mode analogue of the "level"
+                                      # pyramid: ONE block-diagonal hf_sep
+                                      # conv per level in fwd+bwd, per-slice
+                                      # BN (exact — BN is per-channel). Off
+                                      # until measured (models/mwt.py).
     use_pallas_dwse: bool = False     # fused depthwise+BN+SiLU+SE-mean
                                       # kernel (inference only — ops/dw_se.py)
     use_s2d_stem: bool = False        # space-to-depth stem conv: exact

@@ -63,6 +63,15 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def true_len(self) -> int:
+        """Number of real (non-pad) items this loader yields.
+
+        The loader protocol ``evaluate()``/``Trainer`` use to trim
+        ``pad_last`` rows out of metrics; wrapper loaders that expand items
+        (e.g. plot_celebdf_roc.PerFrameLoader) override it.
+        """
+        return len(self.dataset)
+
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:

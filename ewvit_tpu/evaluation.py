@@ -63,6 +63,30 @@ def load_model(model_path: Optional[str], cfg: Optional[ModelConfig] = None):
             print(f"Warning: {len(report['unmapped_torch_keys'])} torch keys "
                   f"unmapped (e.g. {report['unmapped_torch_keys'][:3]})")
         converted = jax.tree_util.tree_map(jnp.asarray, converted)
+        # Shape-check a few leaves against the configured model so a
+        # mismatched --dim/--tiny fails with a clear message instead of an
+        # opaque flax apply scope error later (ADVICE r3). classifier_fc1
+        # pins dama_dim; the SFE patch embedding pins image_size/vit dim.
+        p = converted.get("params", {})
+        checks = [(("classifier_fc1", "kernel"), (cfg.dama_dim, 64))]
+        if cfg.backbone_spec is None and cfg.backbone_factory is None:
+            # full-stack backbones end at 1280 channels, map = size/32
+            checks.append((("dama", "sfe", "patch_to_embedding", "kernel"),
+                           ((cfg.arch.image_size // 32) ** 2 * 1280,
+                            cfg.arch.dim)))
+        for path, want in checks:
+            leaf = p
+            for k in path:
+                leaf = leaf.get(k) if isinstance(leaf, dict) else None
+                if leaf is None:
+                    break
+            if leaf is not None and tuple(leaf.shape) != tuple(want):
+                raise ValueError(
+                    f"{model_path}: converted param "
+                    f"{'/'.join(path)} has shape {tuple(leaf.shape)} but the "
+                    f"configured model (dim={cfg.dama_dim}, image_size="
+                    f"{cfg.arch.image_size}) expects {tuple(want)} — check "
+                    f"--dim/--tiny against the checkpoint's training config")
         return create_detector(cfg), converted
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     if model_path:
@@ -154,7 +178,12 @@ def evaluate(
         in_shard = batch_sharding(mesh, frame_axis=False)
     orth_losses, preds, labels = [], [], []
     loss_sum, n_total = 0.0, 0
-    remaining = len(loader.dataset) if hasattr(loader, "dataset") else None
+    if hasattr(loader, "true_len"):          # loader protocol (pipeline.py)
+        remaining = loader.true_len()
+    elif hasattr(loader, "dataset"):         # bare duck-typed loaders
+        remaining = len(loader.dataset)
+    else:
+        remaining = None
     # H2D of batch N+1 overlaps batch N's forward; labels stay host-side.
     for frames, lbls in DevicePrefetcher(loader, sharding=in_shard,
                                          put_labels=False):

@@ -42,6 +42,7 @@ class DAMA(nn.Module):
     use_pallas_dama: bool = False
     use_fused_mwt_tail: bool = False
     fused_eval_pyramid: Any = "level"
+    fused_train_pyramid: bool = False
     use_pallas_dwse: bool = False
     use_s2d_stem: bool = False
     pos_mode: str = "reference"
@@ -70,7 +71,8 @@ class DAMA(nn.Module):
             in_channels=self.in_channels, dama_dim=self.dim, levels=self.levels,
             use_pallas_dwt=self.use_pallas_dwt,
             use_fused_tail=self.use_fused_mwt_tail,
-            fused_eval_pyramid=self.fused_eval_pyramid, dtype=self.dtype,
+            fused_eval_pyramid=self.fused_eval_pyramid,
+            fused_train_pyramid=self.fused_train_pyramid, dtype=self.dtype,
             name="mwt",
         )(frames, train=train)                       # [N, 1, 1, dim]
 

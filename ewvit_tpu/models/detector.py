@@ -59,6 +59,7 @@ class DeepfakeDetector(nn.Module):
             use_pallas_dama=c.use_pallas_dama,
             use_fused_mwt_tail=c.use_fused_mwt_tail,
             fused_eval_pyramid=c.fused_eval_pyramid,
+            fused_train_pyramid=c.fused_train_pyramid,
             use_pallas_dwse=c.use_pallas_dwse,
             use_s2d_stem=c.use_s2d_stem, pos_mode=c.pos_mode,
             backbone_spec=c.backbone_spec,
@@ -68,7 +69,8 @@ class DeepfakeDetector(nn.Module):
             in_channels=c.in_channels, dama_dim=c.dama_dim, levels=c.levels,
             use_pallas_dwt=c.use_pallas_dwt,
             use_fused_tail=c.use_fused_mwt_tail,
-            fused_eval_pyramid=c.fused_eval_pyramid, dtype=dt,
+            fused_eval_pyramid=c.fused_eval_pyramid,
+            fused_train_pyramid=c.fused_train_pyramid, dtype=dt,
         )
         self.sfe = EfficientViT(
             arch=c.arch, channels=1280, selected_efficient_net=0,

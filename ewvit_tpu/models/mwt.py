@@ -79,6 +79,12 @@ class _ConvBNRelu(nn.Module):
     - ``mode="from_phases"``: x is a tuple of 4 phase arrays; applies the
       stride-2 conv via trimmed sub-convs (freq_conv consuming the Winograd
       kernel's phase-split output).
+    - ``mode="conv_params"``: returns (kernel, bias) without applying —
+      lets MWT assemble the block-diagonal hf_sep conv (train fast path);
+    - ``mode="bn_relu"``: applies only this module's BN + ReLU to ``x``
+      (the block-diagonal conv's output slice) — BN statistics see exactly
+      the values the per-slice conv would have produced, so the fast path
+      is semantics-identical.
     """
 
     features: int
@@ -92,7 +98,8 @@ class _ConvBNRelu(nn.Module):
                  mode: str = "apply"):
         if mode == "tail_params" or phase is not None:
             assert not train, "fused MWT tail is inference-only"
-        in_f = (self.in_features if x is None or mode == "from_phases"
+        in_f = (self.in_features
+                if x is None or mode in ("from_phases", "bn_relu")
                 else x.shape[-1])
         kern, cbias = _ConvParams(self.features, in_f, self.kernel,
                                   name="conv")()
@@ -105,6 +112,10 @@ class _ConvBNRelu(nn.Module):
             scale = (y1 - y0).reshape(-1).astype(jnp.float32)
             shift = y0.reshape(-1).astype(jnp.float32)
             return kern, cbias, scale, shift
+        if mode == "conv_params":
+            return kern, cbias
+        if mode == "bn_relu":
+            return nn.relu(bn(x))
 
         kern = kern.astype(self.dtype)
         if mode == "from_phases":
@@ -141,6 +152,14 @@ class MWT(nn.Module):
     # block-diagonal hf_sep conv, per-level hf_fusion on the contiguous
     # result). Eval-only fast paths; see BASELINE.md round-2 measurements.
     fused_eval_pyramid: Any = "level"
+    # Train-mode analogue of fused_eval_pyramid="level": ONE block-diagonal
+    # hf_sep conv per level (9 low-channel convs -> 3 in forward AND
+    # backward), with each hf_sep BN applied to its channel slice so
+    # statistics/updates are semantics-identical (BN is per-channel, so
+    # BN(slice of blockconv) == BN(separate conv) exactly). Targets the
+    # diagnosed train-backward long tail of small 112² low-lane fusions
+    # (BASELINE.md train-step attribution). Off by default until measured.
+    fused_train_pyramid: bool = False
     dtype: Dtype = jnp.float32
 
     def _dwt(self, x):
@@ -189,12 +208,36 @@ class MWT(nn.Module):
 
         def level_merged(hf):
             """Per-level hf_sep stack: [N,H2,W2,3C] -> [N,H2,W2,18C]."""
+            if self.fused_train_pyramid and train:
+                return level_merged_block(hf)
             processed = []
             for i in range(3):
                 # slice = all 3 orientations of input channel i (mwt.py:85)
                 sl = hf[..., i * c : (i + 1) * c]
                 processed.append(hf_sep[i](sl, train=train))
             return jnp.concatenate(processed, axis=-1)
+
+        def level_merged_block(hf):
+            """Train fast path: the 3 hf_sep convs as ONE block-diagonal
+            conv [3,3,3C,18C] (zeros off-block; gradients slice back into
+            the 3 reference-shaped kernels through the .at[].set trace),
+            then each hf_sep BN+ReLU on its channel slice — BN is
+            per-channel, so statistics, normalization, and running-stat
+            updates are identical to the separate-conv formulation."""
+            parts = [hf_sep[i](mode="conv_params") for i in range(3)]
+            big_k = jnp.zeros((3, 3, 3 * c, 18 * c), jnp.float32)
+            for i, (k, _) in enumerate(parts):
+                big_k = big_k.at[:, :, i * c:(i + 1) * c,
+                                 i * 6 * c:(i + 1) * 6 * c].set(k)
+            big_b = jnp.concatenate([b for _, b in parts])
+            y = jax.lax.conv_general_dilated(
+                hf.astype(self.dtype), big_k.astype(self.dtype), (1, 1),
+                _SYM(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + big_b.astype(self.dtype)
+            return jnp.concatenate(
+                [hf_sep[i](y[..., i * 6 * c:(i + 1) * 6 * c],
+                           train=train, mode="bn_relu")
+                 for i in range(3)], axis=-1)
 
         fused_tail = (self.use_fused_tail and not train
                       and not return_intermediates

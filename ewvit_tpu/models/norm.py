@@ -15,11 +15,19 @@ flax rule — a silent train-mode divergence (VERDICT round-2 ragged-tail BN
 investigation).
 
 :class:`TorchBatchNorm` matches flax's numerics everywhere else: statistics
-and normalization are computed in float32 (flax ``_compute_stats`` /
-``_normalize`` promote to f32) and the output is cast to ``dtype``; the
-variable layout is identical (params ``scale``/``bias``, batch_stats
+are computed in float32 (flax ``_compute_stats`` promotes to f32) while the
+normalization itself runs in the module ``dtype`` exactly like flax
+``_normalize`` (which canonicalizes every operand to the explicit ``dtype``
+— bf16 on the production TPU path, so the elementwise tail keeps fusing
+into the preceding conv without f32 converts; ADVICE r3); the variable
+layout is identical (params ``scale``/``bias``, batch_stats
 ``mean``/``var``) so checkpoints, the torch converter, and the BN-folding
 probes (ConvBN ``mode="params"``, mwt ``tail_params``) are unchanged.
+
+Degenerate batches: with a single value per channel (``n == 1``) torch
+raises "Expected more than 1 value per channel when training"; so does this
+module (at trace time — ``n`` is static), instead of silently updating the
+running var with the biased variance (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -56,6 +64,11 @@ class TorchBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            n = x.size // feat
+            if n <= 1:  # torch: aten batch_norm "Expected more than 1 value
+                raise ValueError(
+                    f"TorchBatchNorm: expected more than 1 value per channel "
+                    f"in train mode, got input shape {x.shape} (n={n})")
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
@@ -63,12 +76,13 @@ class TorchBatchNorm(nn.Module):
             var = jnp.maximum(
                 0.0, jnp.mean(jnp.square(xf), axes) - jnp.square(mean))
             if not self.is_initializing():
-                n = x.size // feat
-                corr = n / (n - 1) if n > 1 else 1.0   # Bessel (torch rule)
+                corr = n / (n - 1)                     # Bessel (torch rule)
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * (var * corr)
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(self.dtype)
+        # normalize in the module dtype, exactly like flax _normalize
+        dt = self.dtype
+        y = ((x.astype(dt) - mean.astype(dt))
+             * jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt)))
+        return y * scale.astype(dt) + bias.astype(dt)

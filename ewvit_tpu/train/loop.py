@@ -98,6 +98,11 @@ class Trainer:
         self.start_epoch = 0
         self.best_val_auc = 0.0
         self._steps_per_epoch = max(1, steps_per_epoch)
+        from ewvit_tpu.train.optimizer import cosine_annealing_schedule
+
+        self._lr_schedule = cosine_annealing_schedule(
+            train_cfg.lr, train_cfg.epochs, self._steps_per_epoch,
+            train_cfg.lr_min)
 
     # ----- checkpointing ---------------------------------------------------
 
@@ -195,8 +200,12 @@ class Trainer:
         preds, labels = [], []
         # pad_last loaders zero-pad the ragged tail batch; trim those rows so
         # padded samples never enter the metrics
-        remaining = (len(loader.dataset)
-                     if hasattr(loader, "dataset") else None)
+        if hasattr(loader, "true_len"):      # loader protocol (pipeline.py)
+            remaining = loader.true_len()
+        elif hasattr(loader, "dataset"):
+            remaining = len(loader.dataset)
+        else:
+            remaining = None
         from ewvit_tpu.data.pipeline import DevicePrefetcher
 
         prefetched = DevicePrefetcher(
@@ -282,9 +291,4 @@ class Trainer:
         return {"history": history, "best_val_auc": self.best_val_auc}
 
     def _current_lr(self) -> float:
-        from ewvit_tpu.train.optimizer import cosine_annealing_schedule
-
-        sched = cosine_annealing_schedule(
-            self.train_cfg.lr, self.train_cfg.epochs,
-            self._steps_per_epoch, self.train_cfg.lr_min)
-        return float(sched(int(self.state.step)))
+        return float(self._lr_schedule(int(self.state.step)))

@@ -52,23 +52,19 @@ class PerFrameLoader:
     the model runs with ``pos_mode='row0'``: every row gets positional row
     0, exactly what each frame sees in the reference's N=1 loop. Labels
     repeat K times; row order is preserved, so ``evaluate``'s pad-row
-    trimming keeps working against the expanded dataset length.
+    trimming keeps working against the expanded ``true_len()``.
     """
-
-    class _Len:
-        def __init__(self, n):
-            self._n = n
-
-        def __len__(self):
-            return self._n
 
     def __init__(self, loader, frame_count: int):
         self._loader = loader
         self.frame_count = frame_count
-        self.dataset = self._Len(len(loader.dataset) * frame_count)
 
     def __len__(self):
         return len(self._loader)
+
+    def true_len(self) -> int:
+        """Real item count under expansion (loader protocol, pipeline.py)."""
+        return self._loader.true_len() * self.frame_count
 
     def __iter__(self):
         for frames, labels in self._loader:
@@ -131,7 +127,7 @@ def main():
         if args.per_frame:
             loader = PerFrameLoader(loader, args.frame_count)
             print(f"Celeb-DF test: {len(ds)} videos x {args.frame_count} "
-                  f"frames = {len(loader.dataset)} per-frame scores")
+                  f"frames = {loader.true_len()} per-frame scores")
         else:
             print(f"Celeb-DF test: {len(ds)} videos (video-level)")
 
@@ -145,9 +141,9 @@ def main():
                                                args.frame_count)),
                          compute_dtype=cfg.compute_dtype)
             if args.per_frame:
-                assert len(m["preds"]) == len(loader.dataset), (
+                assert len(m["preds"]) == loader.true_len(), (
                     f"per-frame score count {len(m['preds'])} != "
-                    f"{len(loader.dataset)} total frames")
+                    f"{loader.true_len()} total frames")
             fpr, tpr, _ = roc_curve(m["labels"], m["preds"])
             a = sk_auc(fpr, tpr)
             ax.plot(fpr, tpr, label=f"{name} (AUC={a:.4f})")

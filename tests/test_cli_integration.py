@@ -79,7 +79,7 @@ def test_train_then_eval(ff_root, tmp_path):
         "eval.py", "--tiny", "--root", ff_root,
         "--model-path", os.path.join(out, "checkpoints", "checkpoint_2"),
         "--output", eval_out, "--batch-size", "4", "--frame-count", "2",
-        "--num-workers", "0")
+        "--num-workers", "0", "--visualize")
     assert "FF++ overall" in stdout
     with open(os.path.join(eval_out, "eval_results.csv")) as f:
         rows = list(csv.DictReader(f))
@@ -92,6 +92,14 @@ def test_train_then_eval(ff_root, tmp_path):
     assert set(conf) == {"overall", *METHODS}
     cm = np.asarray(conf["overall"])
     assert cm.sum() == 8  # 4 real + 4 fake test videos
+    # --visualize emits visualizations/all_methods/ + one dir per FF++
+    # method, each with the 5 reference plots (reference eval.py:300-321)
+    plots = ["confusion_matrix.png", "roc_curve.png", "pr_curve.png",
+             "pred_distribution.png", "orth_vs_pred.png"]
+    for name in ["all_methods"] + METHODS:
+        d = os.path.join(eval_out, "visualizations", name)
+        for p in plots:
+            assert os.path.exists(os.path.join(d, p)), f"missing {name}/{p}"
 
 
 @pytest.fixture(scope="module")

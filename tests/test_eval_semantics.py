@@ -76,7 +76,7 @@ def test_per_frame_loader_expansion(micro_model):
     ds = SyntheticClips(3, frames=2)          # 3 videos x 2 frames
     inner = BatchLoader(ds, 2, pad_last=True, num_workers=0)
     loader = roc.PerFrameLoader(inner, frame_count=2)
-    assert len(loader.dataset) == 6
+    assert loader.true_len() == 6            # loader protocol (pipeline.py)
 
     batches = list(loader)
     assert batches[0][0].shape == (4, 1, 32, 32, 3)   # B*K single-frame clips

@@ -199,6 +199,51 @@ def test_mwt_fused_eval_pyramid_matches_per_level(rng, mode):
     np.testing.assert_array_equal(np.asarray(yt_fast), np.asarray(yt_slow))
 
 
+def test_mwt_fused_train_pyramid_matches_per_level(rng):
+    """The train fast path (ONE block-diagonal hf_sep conv per level,
+    per-slice BN) must match the reference-structured formulation in TRAIN
+    mode: outputs, updated batch_stats, AND parameter gradients. Exact in
+    principle (BN is per-channel, the block conv computes the same dots);
+    f32 tolerances cover conv-reduction reassociation."""
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    fast = MWT(dama_dim=64, levels=2, fused_train_pyramid=True)
+    slow = MWT(dama_dim=64, levels=2)
+    v = jax.jit(slow.init)(jax.random.PRNGKey(0), x)
+
+    def run(m):
+        def loss(params):
+            y, upd = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y ** 2), (y, upd["batch_stats"])
+
+        (val, (y, bstats)), grads = jax.value_and_grad(
+            loss, has_aux=True)(v["params"])
+        return y, bstats, grads
+
+    y_f, bs_f, g_f = run(fast)
+    y_s, bs_s, g_s = run(slow)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-5)
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_s),
+            jax.tree_util.tree_leaves_with_path(bs_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"batch_stats diverged at {p}")
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4,
+            atol=1e-5 * max(1.0, float(np.abs(np.asarray(a)).max())),
+            err_msg=f"gradient diverged at {p}")
+    # eval mode ignores the flag entirely
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(fast.apply)(v, x)),
+        np.asarray(jax.jit(slow.apply)(v, x)))
+
+
 def test_cast_kernels_for_inference_is_bit_identical_under_compute_dtype(rng):
     """Pre-casting large f32 kernels to the compute dtype must not change
     outputs when the module already computes in that dtype."""

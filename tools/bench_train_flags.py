@@ -122,7 +122,10 @@ def main() -> int:
         m = None
         for _ in range(n):
             rng, key = jax.random.split(rng)
-            st, m = fn(st, frames, labels, key)
+            # AOT-compiled call: must repeat the traced (non-static) kwargs
+            # the step was lowered with, with identical values/pytree
+            st, m = fn(st, frames, labels, key,
+                       pos_weight=1.2, epoch=10, max_epochs=30)
         float(np.asarray(m["loss"]))       # one host pull
         return time.perf_counter() - t0
 
