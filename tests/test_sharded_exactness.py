@@ -74,6 +74,34 @@ def test_depthwise_filter_grad_exact_under_partial_sharding(stride):
                                        "partial-mesh sharding")
 
 
+def _bn_fed_paths(params):
+    """Module prefixes owning a child whose name mentions 'bn'.
+
+    A conv sitting next to a BN at the same tree level feeds it in this
+    codebase (ConvBN's conv/bn pair, DAMA's fusion_gate_conv /
+    fusion_gate_bn) — those convs' grads are mean-removed by the BN
+    backward and carry amplified reassociation noise under resharding.
+    """
+    prefixes = set()
+
+    def walk(node, prefix):
+        if not hasattr(node, "items"):  # array leaf
+            return
+        if any("bn" in str(k) for k in node):
+            prefixes.add(prefix)
+        for k, v in node.items():
+            walk(v, prefix + (str(k),))
+
+    walk(params, ())
+    return prefixes
+
+
+def _leaf_is_bn_fed(path, bn_prefixes):
+    keys = tuple(getattr(k, "key", str(k)) for k in path)
+    return any(keys[:i] in bn_prefixes and "conv" in str(keys[i])
+               for i in range(len(keys)))
+
+
 @pytest.fixture(scope="module")
 def setup():
     model, variables = init_detector(CFG, jax.random.PRNGKey(0))
@@ -137,6 +165,8 @@ def test_sharded_train_step_matches_unsharded(setup, rng, mesh_kwargs,
     flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
     flat_out = dict(jax.tree_util.tree_leaves_with_path(out_state.params))
     flat_old = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    bn_fed = _bn_fed_paths(state.params)
+    violations = []
     for path, ref_leaf in flat_ref:
         ref_delta = np.asarray(ref_leaf - flat_old[path], np.float32)
         out_delta = np.asarray(flat_out[path] - flat_old[path], np.float32)
@@ -150,22 +180,43 @@ def test_sharded_train_step_matches_unsharded(setup, rng, mesh_kwargs,
             assert np.abs(out_delta).max() < 1e-7, (
                 f"zero-grad leaf {path} got a real update under sharding")
             continue
-        # Elementwise comparison must tolerate reassociation noise: grads
-        # feeding train-mode BN are near-zero residuals of heavily
-        # cancelling sums, so elements ~100x below the leaf max can carry
-        # f32 reassociation error comparable to their own magnitude once
-        # GSPMD reorders the batch/frame reductions (measured: up to 2e-2
-        # of leaf max on freq_conv's kernel). The per-leaf relative-L2
-        # bound is the systematic-error detector — a missing psum
-        # normalization or a polluted reduction shows up as relL2 ~ O(1),
-        # three orders above this bound.
+        # Elementwise tolerance is three-tier (ADVICE r3): leaves feeding a
+        # train-mode BN get 3e-2 of leaf max — their grads are near-zero
+        # residuals of heavily cancelling sums (BN removes the mean), so
+        # elements ~100x below the leaf max carry f32 reassociation error
+        # comparable to their own magnitude once GSPMD reorders the
+        # batch/frame reductions (measured: up to 2e-2 of leaf max on
+        # freq_conv's kernel). BN scale/bias leaves get 1e-2: their grads
+        # are batch reductions of the same mean-removed upstream signal
+        # (measured 5e-3 of leaf max on mwt/hf_fusion/bn/bias). Everything
+        # else (attention, dense, embeddings) has well-conditioned grads
+        # and keeps the tight 5e-4 bound. The per-leaf relative-L2 bound
+        # stays the systematic-error detector — a missing psum
+        # normalization or a polluted reduction shows up as relL2 ~ O(1).
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        if _leaf_is_bn_fed(path, bn_fed):
+            atol = 3e-2
+        elif any("bn" in k for k in keys):
+            atol = 1e-2
+        else:
+            atol = 5e-4
         rel_l2 = (np.linalg.norm(out_delta - ref_delta)
                   / max(np.linalg.norm(ref_delta), 1e-12))
-        assert rel_l2 < 1e-2, (
-            f"gradient diverged under sharding at {path}: relL2={rel_l2:.3e}")
-        np.testing.assert_allclose(
-            out_delta, ref_delta, rtol=0, atol=3e-2 * scale + 1e-9,
-            err_msg=f"gradient diverged under sharding at {path}")
+        if rel_l2 >= 1e-2:
+            violations.append(f"{keys}: relL2={rel_l2:.3e}")
+            continue
+        # absolute floor 5e-8: leaves just above the zero-grad cutoff
+        # (scale ~1e-7..1e-4) carry plain f32 accumulation noise of a few
+        # e-8 regardless of magnitude (measured 3e-8 on a block_5_10 SE
+        # kernel with leaf max 5.5e-5) — below that, it's noise-vs-noise
+        err = np.abs(out_delta - ref_delta).max()
+        if err > atol * scale + 5e-8:
+            violations.append(
+                f"{keys}: elementwise err {err:.3e} > {atol:.0e} of leaf "
+                f"max {scale:.3e} (ratio {err / scale:.3e})")
+    assert not violations, (
+        "gradients diverged under sharding at "
+        f"{len(violations)} leaves:\n" + "\n".join(violations))
 
     # BN batch statistics must also agree (GSPMD global batch reduce).
     # atol: one update writes (1-momentum)=0.01-scaled batch stats, so the
@@ -180,3 +231,66 @@ def test_sharded_train_step_matches_unsharded(setup, rng, mesh_kwargs,
         np.testing.assert_allclose(
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             rtol=1e-4, atol=1e-5, err_msg=f"batch_stats diverged at {path}")
+
+
+def test_flagship_sharded_train_step_traces():
+    """The FLAGSHIP (224px, full stacks) train step lowers over the
+    production 8-device ('dcn','data','frames') mesh (VERDICT r3 #5).
+
+    The exactness tests above run tiny()/micro() because XLA:CPU cannot
+    compile the flagship sharded step on this host — but nothing else even
+    *traced* it sharded, so a flagship-only sharding regression (e.g. a
+    shape-dependent PartitionSpec) would ship invisible. ``lower()`` is
+    tracing + StableHLO emission only (no XLA:CPU compile, so no segfault /
+    18-min-compile exposure) and everything stays abstract via
+    ``jax.eval_shape`` — no 149M-param tree is ever materialized.
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ewvit_tpu.models.detector import create_detector
+    from ewvit_tpu.train.optimizer import make_optimizer
+
+    cfg = ModelConfig()  # the flagship config, bf16 compute
+    assert cfg.arch.image_size == 224
+    model = create_detector(cfg)
+    size = cfg.arch.image_size
+    dt = jnp.dtype(cfg.compute_dtype)
+    variables = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        {"params": jax.random.PRNGKey(0)},
+        jax.ShapeDtypeStruct((1, size, size, 3), dt))
+    tx = make_optimizer(variables["params"])
+    state_abs = jax.eval_shape(lambda v: create_train_state(v, tx)[0],
+                               variables)
+
+    mesh = make_mesh(data=2, frames=2, dcn=2)  # the dryrun's mesh shape
+    repl = NamedSharding(mesh, P())
+    state_sds = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl),
+        state_abs)
+
+    accum, dp = 2, mesh.shape["dcn"] * mesh.shape["data"]
+    b, k = accum * dp, 2 * cfg.frame_chunk
+    frames_sds = jax.ShapeDtypeStruct(
+        (b, k, size, size, 3), dt,
+        sharding=batch_sharding(mesh, frame_axis=True))
+    labels_sds = jax.ShapeDtypeStruct((b,), jnp.float32,
+                                      sharding=label_sharding(mesh))
+
+    lowered = train_step.lower(
+        state_sds, frames_sds, labels_sds, jax.random.PRNGKey(3),
+        model=model, tx=tx, mode="dynamic", frame_chunk=cfg.frame_chunk,
+        accum_steps=accum, pos_weight=1.2, epoch=1, max_epochs=30,
+        remat=True)
+    txt = lowered.as_text()
+    # the lowered module must carry the input sharding annotations: the
+    # frames arg is split over ('dcn','data') x 'frames' of its 5-D shape.
+    # Shardy emits sdy.sharding attrs; the GSPMD fallback emits
+    # mhlo.sharding devices= strings — accept either partitioner.
+    assert "sdy.sharding" in txt or "mhlo.sharding" in txt, (
+        "lowered HLO carries no sharding annotations")
+    frames_spec = '[{"dcn", "data"}, {"frames"}, {}, {}, {}]'
+    assert frames_spec in txt or "devices=[4,2,1,1,1]" in txt, (
+        "frames argument lost its ('dcn','data')x'frames' sharding")
