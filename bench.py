@@ -11,9 +11,27 @@ through the axon TPU tunnel: per-call block timings implied >600 TFLOP/s,
 above v5e peak — the slope method gives physically consistent numbers and
 subtracts the fixed D2H pull latency).
 
+Noise policy (the documented min-of-N contract — tunnel/clock drift between
+processes swings ±4-15% on identical code, so the bench must defend its own
+number within one process):
+
+1. Collect PAIRED (short, long) chains back-to-back, interleaved, so each
+   pair sees the same tunnel state; a pair whose slope is non-positive
+   (t_long <= t_short — a known tunnel glitch) is discarded.
+2. The headline slope uses min(t_long) - min(t_short) over all valid pairs:
+   timing noise here is additive and positive (GC, tunnel stalls), so the
+   minimum is the best estimator of true device time.
+3. Internal spread = relative spread of the 3 fastest per-pair slopes
+   (the slow tail is already rejected by the min; the fast cluster's
+   agreement is what certifies the headline). If spread > SPREAD_TARGET
+   after the initial reps, more pairs are collected up to MAX_PAIRS.
+4. The spread and pair count are PRINTED with the result so a red/green
+   call against the 5,000 f/s line can be judged against the bench's own
+   confidence (VERDICT r3 #4).
+
 Prints ONE JSON line:
   {"metric": "inference_throughput", "value": N, "unit": "frames/sec",
-   "vs_baseline": N / 5000}
+   "vs_baseline": N / 5000, "spread_pct": S, "pairs": P}
 vs_baseline is against the BASELINE.json north star (>=5,000 frames/sec/chip
 @224px on TPU v5e); the reference publishes no numbers of its own
 (SURVEY.md §6).
@@ -39,6 +57,11 @@ FRAMES = 64        # 2 scan chunks/call: amortizes per-call tunnel dispatch
 FRAME_CHUNK = 32   # flattened chunk = BATCH * FRAME_CHUNK = 64 == emb_dim cap
 N_SHORT, N_LONG = 2, 12
 NORTH_STAR_FPS = 5000.0
+INIT_PAIRS = 8     # interleaved (short, long) pairs in the first pass; pairs
+                   # cost ~4 s each vs minutes of compile, and the min-of-N
+                   # headline is monotone non-decreasing in pair count
+MAX_PAIRS = 16     # adaptive cap when the fast cluster won't settle
+SPREAD_TARGET = 0.04  # 3-fastest-slope spread below this ends collection
 
 
 def main() -> int:
@@ -76,14 +99,38 @@ def main() -> int:
 
     chain(1)          # compile forward + chain graph + pull path
     chain(N_SHORT)    # warm
-    # min over 4 interleaved reps: between-process tunnel/clock drift is
-    # the dominant noise source (measured 4.3-5.0k f/s across processes on
-    # identical code); more reps tighten the within-process estimate
-    t_short = min(t for _ in range(2)
-                  for t in (chain(N_SHORT), chain(N_SHORT)))
-    t_long = min(t for _ in range(2)
-                 for t in (chain(N_LONG), chain(N_LONG)))
-    per_call = (t_long - t_short) / (N_LONG - N_SHORT)
+
+    # Paired interleaved collection per the noise policy in the docstring.
+    shorts, longs, slopes = [], [], []
+
+    def collect_pair() -> None:
+        t_s, t_l = chain(N_SHORT), chain(N_LONG)
+        slope = (t_l - t_s) / (N_LONG - N_SHORT)
+        if slope <= 0:  # tunnel glitch: long chain "finished" before short
+            print(f"# discarded glitched pair (t_short={t_s:.3f}s "
+                  f"t_long={t_l:.3f}s)", file=sys.stderr)
+            return
+        shorts.append(t_s)
+        longs.append(t_l)
+        slopes.append(slope)
+
+    def fast_spread() -> float:
+        fast = sorted(slopes)[:3]
+        return (fast[-1] - fast[0]) / fast[0] if len(fast) >= 2 else 1.0
+
+    attempts = 0
+    while attempts < INIT_PAIRS or (
+            attempts < MAX_PAIRS
+            and (len(slopes) < 2 or fast_spread() > SPREAD_TARGET)):
+        collect_pair()
+        attempts += 1
+    if not slopes:  # every pair glitched: report the failure, don't crash
+        print(json.dumps({"metric": "inference_throughput", "value": 0.0,
+                          "unit": "frames/sec", "vs_baseline": 0.0,
+                          "error": "all timing pairs glitched"}))
+        return 1
+
+    per_call = (min(longs) - min(shorts)) / (N_LONG - N_SHORT)
     frames_per_sec = BATCH * FRAMES / per_call
 
     print(json.dumps({
@@ -91,6 +138,8 @@ def main() -> int:
         "value": round(frames_per_sec, 2),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / NORTH_STAR_FPS, 4),
+        "spread_pct": round(fast_spread() * 100, 2),
+        "pairs": len(slopes),
     }))
     return 0
 

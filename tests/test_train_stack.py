@@ -167,6 +167,33 @@ def test_trainer_fit_two_epochs(tmp_path):
     assert t2.start_epoch == 1
 
 
+def test_trainer_save_every_gates_epoch_checkpoints():
+    """save_every=2 writes epoch checkpoints only on multiples of 2 plus the
+    final epoch (the reference's per-epoch semantics are save_every=1)."""
+    from ewvit_tpu.data.pipeline import BatchLoader
+
+    class _RecordingCkpt:
+        def __init__(self):
+            self.epochs, self.bests = [], []
+
+        def save_epoch(self, state, epoch, best_val_auc):
+            self.epochs.append(epoch)
+
+        def save_best(self, state, epoch, best_val_auc):
+            self.bests.append(epoch)
+
+    ds = _SyntheticDataset(n=4, k=2)
+    loader = BatchLoader(ds, batch_size=4, num_workers=0)
+    tcfg = TrainConfig(batch_size=4, epochs=3, accum_steps=2, frame_count=2)
+    trainer = Trainer(CFG, tcfg, pos_weight=1.0, steps_per_epoch=1,
+                      save_every=2, log=lambda s: None)
+    rec = _RecordingCkpt()
+    trainer.ckpt = rec
+    trainer.fit(loader, loader)
+    # epoch indices 0,1,2: (epoch+1)%2==0 -> epoch 1; final epoch 2 always
+    assert rec.epochs == [1, 2]
+
+
 def test_trainer_with_data_parallel_mesh(tmp_path):
     """Trainer over an 8-device CPU mesh (DP ≙ reference --multi-gpu).
 

@@ -57,6 +57,10 @@ def parse_args():
                    help="space-to-depth stem conv (exact rewrite)")
     p.add_argument("--num-workers", type=int, default=4,
                    help="Host decode threads")
+    p.add_argument("--save-every", type=int, default=1,
+                   help="Full checkpoint every N epochs (1 = the reference's "
+                        "per-epoch semantics, train.py:313-319; higher "
+                        "amortizes the TrainState D2H on long runs)")
     p.add_argument("--tiny", action="store_true",
                    help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
@@ -136,7 +140,7 @@ def main():
         steps_per_epoch=steps_per_epoch,
         checkpoint_dir=os.path.join(args.output, "checkpoints"),
         rng=jax.random.PRNGKey(args.seed), mesh=mesh,
-        remat=not args.no_remat)
+        remat=not args.no_remat, save_every=args.save_every)
 
     if args.resume:
         trainer.resume(args.resume)
