@@ -23,15 +23,29 @@ number within one process):
    minimum is the best estimator of true device time.
 3. Internal spread = relative spread of the 3 fastest per-pair slopes
    (the slow tail is already rejected by the min; the fast cluster's
-   agreement is what certifies the headline). If spread > SPREAD_TARGET
-   after the initial reps, more pairs are collected up to MAX_PAIRS.
-4. The spread and pair count are PRINTED with the result so a red/green
-   call against the 5,000 f/s line can be judged against the bench's own
-   confidence (VERDICT r3 #4).
+   agreement is what certifies the headline). Collection continues until
+   the spread is smaller than BOTH the 4% sanity target AND the headline's
+   own margin over the 5,000 f/s north-star line (so a +0.6% call is
+   backed by a <0.6% spread), up to MAX_PAIRS (VERDICT r4 #2). A reading
+   BELOW the line additionally keeps collecting to the full MAX_PAIRS
+   budget: the min-of-N estimator is monotone non-decreasing in pair count
+   (noise is additive-positive), so an early stop can only lock in
+   pessimism — a red call must exhaust the evidence budget first.
+4. The result carries a ``verdict`` field the bench itself certifies:
+   "above"/"below" only when spread < |margin|; "ambiguous" when the
+   margin is thinner than the bench's own noise floor after MAX_PAIRS.
+5. Deflated-glitch guard: the min-of-minima estimator rejects inflated
+   outliers but would select a deflated one (the same tunnel-glitch family
+   as the 'physically impossible 10.3 ms' rep in BASELINE.md). If the
+   headline slope lands >20% BELOW the median per-pair slope, the median
+   is used instead and ``estimator`` says so; a non-positive headline
+   slope takes the error path (ADVICE r4).
 
 Prints ONE JSON line:
   {"metric": "inference_throughput", "value": N, "unit": "frames/sec",
-   "vs_baseline": N / 5000, "spread_pct": S, "pairs": P}
+   "vs_baseline": N / 5000, "spread_pct": S, "pairs": P,
+   "verdict": "above"|"below"|"ambiguous"}
+(error path keeps the same keys with value 0.0, spread_pct null, pairs 0).
 vs_baseline is against the BASELINE.json north star (>=5,000 frames/sec/chip
 @224px on TPU v5e); the reference publishes no numbers of its own
 (SURVEY.md §6).
@@ -39,6 +53,7 @@ vs_baseline is against the BASELINE.json north star (>=5,000 frames/sec/chip
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -60,11 +75,19 @@ NORTH_STAR_FPS = 5000.0
 INIT_PAIRS = 8     # interleaved (short, long) pairs in the first pass; pairs
                    # cost ~4 s each vs minutes of compile, and the min-of-N
                    # headline is monotone non-decreasing in pair count
-MAX_PAIRS = 16     # adaptive cap when the fast cluster won't settle
-SPREAD_TARGET = 0.04  # 3-fastest-slope spread below this ends collection
+MAX_PAIRS = 32     # adaptive cap when the fast cluster won't settle
+SPREAD_TARGET = 0.04  # sanity ceiling; the margin vs NORTH_STAR tightens it
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="dynamic",
+                    choices=["dynamic", "sfe_only", "sfe_mwt"],
+                    help="ablation mode to bench (headline = dynamic; the "
+                         "others characterize the ablation programs' cost, "
+                         "VERDICT r4 #5)")
+    args = ap.parse_args()
+
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import init_detector, video_forward
     from ewvit_tpu.utils.params import cast_kernels_for_inference
@@ -83,7 +106,7 @@ def main() -> int:
     # the clip's first consumers (DWT conv / backbone stem) instead of
     # materializing a fresh 38 MB clip per call on the measurement path
     fwd = jax.jit(lambda v, c, a: video_forward(
-        model, v, c + a.astype(c.dtype), mode="dynamic",
+        model, v, c + a.astype(c.dtype), mode=args.mode,
         frame_chunk=FRAME_CHUNK,
         train=False, remat=False)[0]["logits"])
 
@@ -118,28 +141,74 @@ def main() -> int:
         fast = sorted(slopes)[:3]
         return (fast[-1] - fast[0]) / fast[0] if len(fast) >= 2 else 1.0
 
+    def error_json(msg: str) -> int:
+        # Stable schema across success and failure paths (ADVICE r4).
+        print(json.dumps({"metric": "inference_throughput", "value": 0.0,
+                          "unit": "frames/sec", "vs_baseline": 0.0,
+                          "spread_pct": None, "pairs": 0,
+                          "verdict": "ambiguous", "error": msg}))
+        return 1
+
+    def headline(verbose: bool = False) -> tuple[float, str]:
+        """Best per-call slope estimate + which estimator produced it."""
+        per_call = (min(longs) - min(shorts)) / (N_LONG - N_SHORT)
+        med = float(np.median(slopes))
+        if per_call < 0.8 * med:
+            # Cross-pair min picked a deflated glitch: the min-of-minima
+            # rejects inflated outliers but selects deflated ones. Fall
+            # back to the median per-pair slope (ADVICE r4).
+            if verbose:
+                print(f"# headline slope {per_call:.4f}s is >20% below "
+                      f"median per-pair slope {med:.4f}s — using median",
+                      file=sys.stderr)
+            return med, "median (min deflated)"
+        return per_call, "min-of-minima"
+
+    def margin() -> float:
+        """Relative distance of the current headline from the 5,000 line."""
+        per_call, _ = headline()
+        if per_call <= 0:
+            return 0.0
+        fps = BATCH * FRAMES / per_call
+        return abs(fps - NORTH_STAR_FPS) / NORTH_STAR_FPS
+
+    def below_line() -> bool:
+        per_call, _ = headline()
+        return per_call > 0 and BATCH * FRAMES / per_call < NORTH_STAR_FPS
+
     attempts = 0
     while attempts < INIT_PAIRS or (
             attempts < MAX_PAIRS
-            and (len(slopes) < 2 or fast_spread() > SPREAD_TARGET)):
+            and (len(slopes) < 2
+                 or fast_spread() > min(SPREAD_TARGET, margin())
+                 or below_line())):   # a red call needs the full budget
         collect_pair()
         attempts += 1
     if not slopes:  # every pair glitched: report the failure, don't crash
-        print(json.dumps({"metric": "inference_throughput", "value": 0.0,
-                          "unit": "frames/sec", "vs_baseline": 0.0,
-                          "error": "all timing pairs glitched"}))
-        return 1
+        return error_json("all timing pairs glitched")
 
-    per_call = (min(longs) - min(shorts)) / (N_LONG - N_SHORT)
+    per_call, estimator = headline(verbose=True)
+    if per_call <= 0:  # deflated-glitch family drove the cross-pair diff <= 0
+        return error_json("non-positive headline slope (deflated glitch)")
     frames_per_sec = BATCH * FRAMES / per_call
+
+    spread = fast_spread()
+    rel_margin = abs(frames_per_sec - NORTH_STAR_FPS) / NORTH_STAR_FPS
+    if spread < rel_margin:
+        verdict = "above" if frames_per_sec >= NORTH_STAR_FPS else "below"
+    else:  # margin thinner than the bench's own noise floor: say so
+        verdict = "ambiguous"
 
     print(json.dumps({
         "metric": "inference_throughput",
+        "mode": args.mode,
         "value": round(frames_per_sec, 2),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / NORTH_STAR_FPS, 4),
-        "spread_pct": round(fast_spread() * 100, 2),
+        "spread_pct": round(spread * 100, 2),
         "pairs": len(slopes),
+        "verdict": verdict,
+        "estimator": estimator,
     }))
     return 0
 

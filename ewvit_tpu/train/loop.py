@@ -66,6 +66,7 @@ class Trainer:
         mesh=None,
         remat: bool = True,
         save_every: int = 1,
+        async_ckpt: bool = False,
         log: Callable[[str], None] = print,
     ):
         self.model_cfg = model_cfg
@@ -94,7 +95,10 @@ class Trainer:
             from ewvit_tpu.parallel.mesh import replicate_tree
 
             self.state = TrainState(*replicate_tree(mesh, tuple(self.state)))
-        self.ckpt = (CheckpointManager(checkpoint_dir)
+        # async_ckpt=True overlaps the full-TrainState D2H + disk write with
+        # the next epoch's compute (safe under donation: the manager snapshots
+        # the state on device before returning — checkpoint.py)
+        self.ckpt = (CheckpointManager(checkpoint_dir, async_save=async_ckpt)
                      if checkpoint_dir else None)
         # save_every=1 keeps the reference's per-epoch checkpoint semantics
         # (train.py:313-319); higher values amortize the full-TrainState D2H
@@ -295,6 +299,9 @@ class Trainer:
                                                  "confusion_matrix")}})
         if viz is not None:
             viz.render_all()
+        if self.ckpt is not None:
+            # drain any in-flight async saves (and surface worker errors)
+            self.ckpt.wait_until_finished()
         return {"history": history, "best_val_auc": self.best_val_auc}
 
     def _current_lr(self) -> float:

@@ -122,6 +122,68 @@ def test_checkpoint_round_trip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_async_round_trip(setup, tmp_path):
+    """async_save=True: saves overlap the caller; wait_until_finished drains
+    the queue and the restored tree is bit-identical, including an overwrite
+    of best_model (VERDICT r4 #4)."""
+    model, variables, tx, state = setup
+    mgr = CheckpointManager(str(tmp_path), async_save=True)
+    mgr.save_epoch(state, epoch=0, best_val_auc=0.5)
+    mgr.save_best(state, epoch=0, best_val_auc=0.5)
+    mgr.save_best(state, epoch=1, best_val_auc=0.9)  # overwrite in-queue
+    mgr.wait_until_finished()
+    restored, start_epoch, best = mgr.restore(str(tmp_path / "best_model"),
+                                              state)
+    assert start_epoch == 2 and best == pytest.approx(0.9)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no swap debris left behind
+    assert not (tmp_path / "best_model.swap-in").exists()
+    assert not (tmp_path / "best_model.old").exists()
+
+
+@pytest.mark.parametrize("async_save", [False, True])
+def test_checkpoint_crash_mid_save_preserves_previous(
+        setup, tmp_path, monkeypatch, async_save):
+    """A crash while WRITING a replacement best_model must leave the previous
+    best_model restorable (orbax force=True deletes-then-writes, so the old
+    direct-overwrite path destroyed it — VERDICT r4 #4 crash test)."""
+    model, variables, tx, state = setup
+    mgr = CheckpointManager(str(tmp_path), async_save=async_save)
+    mgr.save_best(state, epoch=3, best_val_auc=0.6)
+    mgr.wait_until_finished()
+
+    real_save = mgr._ckptr.save
+
+    def exploding_save(*a, **k):
+        raise RuntimeError("simulated crash mid-checkpoint-write")
+
+    monkeypatch.setattr(mgr._ckptr, "save", exploding_save)
+    if async_save:
+        mgr.save_best(state, epoch=4, best_val_auc=0.95)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mgr.wait_until_finished()
+    else:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mgr.save_best(state, epoch=4, best_val_auc=0.95)
+    monkeypatch.setattr(mgr._ckptr, "save", real_save)
+
+    _, start_epoch, best = mgr.restore(str(tmp_path / "best_model"), state)
+    assert start_epoch == 4 and best == pytest.approx(0.6)  # previous intact
+
+
+def test_checkpoint_restore_falls_back_to_old_survivor(setup, tmp_path):
+    """A crash BETWEEN the two swap renames leaves best_model.old only;
+    restore() must fall back to it."""
+    model, variables, tx, state = setup
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_best(state, epoch=5, best_val_auc=0.7)
+    (tmp_path / "best_model").rename(tmp_path / "best_model.old")
+    _, start_epoch, best = mgr.restore(str(tmp_path / "best_model"), state)
+    assert start_epoch == 6 and best == pytest.approx(0.7)
+
+
 class _SyntheticDataset:
     """Tiny in-memory video dataset (uint8 NHWC clips)."""
 
@@ -149,9 +211,11 @@ def test_trainer_fit_two_epochs(tmp_path):
     loader = BatchLoader(ds, batch_size=4, num_workers=0)
     val_loader = BatchLoader(val_ds, batch_size=4, num_workers=0)
     tcfg = TrainConfig(batch_size=4, epochs=2, accum_steps=2, frame_count=4)
+    # async_ckpt exercises the snapshot-under-donation path: the trainer
+    # donates state buffers into the next train_step while saves are in flight
     trainer = Trainer(CFG, tcfg, pos_weight=1.0, steps_per_epoch=1,
                       checkpoint_dir=str(tmp_path / "ckpt"),
-                      log=lambda s: None)
+                      async_ckpt=True, log=lambda s: None)
     result = trainer.fit(loader, val_loader, train_dataset=ds,
                          val_dataset=val_ds)
     assert len(result["history"]) == 2
@@ -181,6 +245,9 @@ def test_trainer_save_every_gates_epoch_checkpoints():
 
         def save_best(self, state, epoch, best_val_auc):
             self.bests.append(epoch)
+
+        def wait_until_finished(self):
+            pass
 
     ds = _SyntheticDataset(n=4, k=2)
     loader = BatchLoader(ds, batch_size=4, num_workers=0)

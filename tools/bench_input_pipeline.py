@@ -15,6 +15,9 @@ end-to-end work; the comparison is like-for-like.
 
 Usage: python tools/bench_input_pipeline.py [--batches 8] [--batch 4]
        [--frames 16] [--decode-ms 20]
+       [--decode-dir DIR]   # REAL decode: each clip decodes `frames` image
+                            # files from DIR through the native C++ decoder
+                            # (ewvit_tpu.data.native) instead of sleeping
 """
 
 from __future__ import annotations
@@ -52,6 +55,28 @@ class SyntheticDecodeDataset:
         return self.clip, i % 2
 
 
+class RealDecodeDataset:
+    """Decodes `frames` REAL image files per clip via the native C++ decoder
+    (the production serving ingest path — VERDICT r4 #3 real-decode mode)."""
+
+    def __init__(self, n, frames, size, files):
+        from ewvit_tpu.data import native
+
+        assert native.available(), "native frameio library unavailable"
+        self._decode = native.decode_batch
+        self.n, self.frames, self.size = n, frames, size
+        self.files = files
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        k = self.frames
+        paths = [self.files[(i * k + j) % len(self.files)] for j in range(k)]
+        clip, ok = self._decode(paths, self.size, 1.0, 1)
+        return clip, i % 2
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=8)
@@ -59,6 +84,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--decode-ms", type=float, default=20.0,
                     help="synthetic per-clip decode cost")
+    ap.add_argument("--decode-dir", type=str, default=None,
+                    help="directory of PNG/JPEG frames: decode real files "
+                         "through the native C++ path instead of sleeping")
     args = ap.parse_args()
 
     from ewvit_tpu.configs import ModelConfig
@@ -87,9 +115,21 @@ def main() -> int:
     warm = jnp.asarray(np.stack([ds.clip] * args.batch))
     np.asarray(fwd(variables, warm))  # compile + warm
 
+    decode_files = None
+    if args.decode_dir:
+        decode_files = sorted(
+            os.path.join(args.decode_dir, f)
+            for f in os.listdir(args.decode_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        assert decode_files, f"no images in {args.decode_dir}"
+
     def run(prefetch: bool) -> float:
-        ds = SyntheticDecodeDataset(args.batches * args.batch, args.frames,
-                                    size, args.decode_ms)
+        if decode_files is not None:
+            ds = RealDecodeDataset(args.batches * args.batch, args.frames,
+                                   size, decode_files)
+        else:
+            ds = SyntheticDecodeDataset(args.batches * args.batch,
+                                        args.frames, size, args.decode_ms)
         loader = BatchLoader(ds, args.batch, num_workers=2, prefetch=2)
         it = DevicePrefetcher(loader, put_labels=False) if prefetch else loader
         t0 = time.perf_counter()
@@ -102,8 +142,10 @@ def main() -> int:
     t_sync = min(run(False) for _ in range(2))
     t_pre = min(run(True) for _ in range(2))
     n = args.batches
+    decode_desc = (f"native-decode:{args.decode_dir}" if decode_files
+                   else f"{args.decode_ms}ms/clip")
     print(f"batches={n} batch={args.batch} frames={args.frames} "
-          f"decode={args.decode_ms}ms/clip")
+          f"decode={decode_desc}")
     print(f"synchronous: {t_sync / n * 1e3:8.1f} ms/batch")
     print(f"prefetched:  {t_pre / n * 1e3:8.1f} ms/batch "
           f"({t_sync / t_pre:.2f}x)")

@@ -60,7 +60,15 @@ def parse_args():
     p.add_argument("--save-every", type=int, default=1,
                    help="Full checkpoint every N epochs (1 = the reference's "
                         "per-epoch semantics, train.py:313-319; higher "
-                        "amortizes the TrainState D2H on long runs)")
+                        "amortizes the TrainState D2H on long runs but a "
+                        "mid-run crash can lose up to N-1 epochs of "
+                        "resumable progress)")
+    p.add_argument("--sync-ckpt", action="store_true",
+                   help="Block the epoch loop on checkpoint saves (default "
+                        "overlaps the TrainState D2H + disk write with the "
+                        "next epoch's compute; both paths are crash-safe — "
+                        "an interrupted save never clobbers the previous "
+                        "checkpoint)")
     p.add_argument("--tiny", action="store_true",
                    help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
@@ -140,7 +148,8 @@ def main():
         steps_per_epoch=steps_per_epoch,
         checkpoint_dir=os.path.join(args.output, "checkpoints"),
         rng=jax.random.PRNGKey(args.seed), mesh=mesh,
-        remat=not args.no_remat, save_every=args.save_every)
+        remat=not args.no_remat, save_every=args.save_every,
+        async_ckpt=not args.sync_ckpt)
 
     if args.resume:
         trainer.resume(args.resume)
