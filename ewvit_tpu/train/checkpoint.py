@@ -71,6 +71,12 @@ class CheckpointManager:
         self._pool = (ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
                       if self.async_save else None)
         self._pending: List[Future] = []
+        # Each queued async save pins one device-side TrainState snapshot
+        # (~1.8 GB flagship) until its worker materializes it to host. Cap
+        # the backlog so epochs shorter than a save can't stack snapshots
+        # into an HBM OOM: at most one running + one queued; a third save
+        # blocks on the oldest (bounded extra HBM = 2 snapshots).
+        self._max_pending = 2
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -116,6 +122,12 @@ class CheckpointManager:
             self._write_swap(host, final)
             return final
 
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()   # surface any completed worker's error, don't swallow
+        while len(self._pending) >= self._max_pending:  # backpressure
+            self._pending.pop(0).result()
         self._pending.append(self._pool.submit(worker))
         return final
 
