@@ -62,6 +62,7 @@ def main():
     from ewvit_tpu.data.datasets import FaceForensicsDataset
     from ewvit_tpu.data.pipeline import BatchLoader
     from ewvit_tpu.data.transforms import FrameTransform
+    from ewvit_tpu.train.checkpoint import device_snapshot_state
     from ewvit_tpu.train.loop import Trainer
 
     out_dir = os.path.join(
@@ -122,7 +123,10 @@ def main():
             print(f"  epoch {epoch + 1}/{args.epochs}: train {tr.loss:.4f} "
                   f"val {va.loss:.4f} auc {auc:.4f}")
             if np.isfinite(auc) and auc > best_auc:
-                best_auc, best_state = float(auc), trainer.state
+                # snapshot, don't alias: the next epoch's train_step DONATES
+                # the live state's buffers (deleted on TPU; checkpoint.py)
+                best_auc = float(auc)
+                best_state = device_snapshot_state(trainer.state)
         if best_state is not None:  # best-val params for testing (:108-113)
             trainer.state = best_state
         trainer.ckpt.save_best(trainer.state, args.epochs - 1, best_auc)

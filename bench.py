@@ -58,14 +58,7 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-# Persistent XLA compile cache: the first bench run pays ~minutes of compile,
-# subsequent runs (and the driver's end-of-round run) hit the disk cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 2
 FRAMES = 64        # 2 scan chunks/call: amortizes per-call tunnel dispatch
@@ -79,6 +72,61 @@ MAX_PAIRS = 32     # adaptive cap when the fast cluster won't settle
 SPREAD_TARGET = 0.04  # sanity ceiling; the margin vs NORTH_STAR tightens it
 
 
+# --- measurement policy (pure functions — unit-tested in
+# --- tests/test_bench_policy.py without touching a device) ----------------
+
+def fast_spread(slopes: list) -> float:
+    """Relative spread of the 3 fastest per-pair slopes (1.0 until 2 exist)."""
+    fast = sorted(slopes)[:3]
+    return (fast[-1] - fast[0]) / fast[0] if len(fast) >= 2 else 1.0
+
+
+def headline_estimate(shorts: list, longs: list, slopes: list,
+                      dn: int) -> tuple:
+    """Best per-call estimate + which estimator produced it.
+
+    min-of-minima rejects inflated outliers; if it lands >20% below the
+    median per-pair slope it selected a DEFLATED glitch instead — fall back
+    to the median (ADVICE r4)."""
+    per_call = (min(longs) - min(shorts)) / dn
+    med = float(np.median(slopes))
+    if per_call < 0.8 * med:
+        return med, "median (min deflated)"
+    return per_call, "min-of-minima"
+
+
+def should_collect_more(attempts: int, shorts: list, longs: list,
+                        slopes: list, dn: int, frames_per_call: int) -> bool:
+    """The margin-aware stop rule (VERDICT r4 #2): collect until the fast
+    cluster's spread is below BOTH the sanity target and the headline's own
+    margin over the north-star line; a below-line reading must exhaust the
+    full MAX_PAIRS budget (min-of-N is monotone — early stops can only lock
+    in pessimism, so a red call needs all the evidence)."""
+    if attempts < INIT_PAIRS:
+        return True
+    if attempts >= MAX_PAIRS:
+        return False
+    if len(slopes) < 2:
+        return True
+    per_call, _ = headline_estimate(shorts, longs, slopes, dn)
+    if per_call <= 0:
+        return True
+    fps = frames_per_call / per_call
+    rel_margin = abs(fps - NORTH_STAR_FPS) / NORTH_STAR_FPS
+    if fps < NORTH_STAR_FPS:
+        return True   # red call: full budget required
+    return fast_spread(slopes) > min(SPREAD_TARGET, rel_margin)
+
+
+def verdict_of(fps: float, spread: float) -> str:
+    """'above'/'below' only when the bench's own spread certifies the
+    margin; 'ambiguous' when the margin is thinner than the noise floor."""
+    rel_margin = abs(fps - NORTH_STAR_FPS) / NORTH_STAR_FPS
+    if spread < rel_margin:
+        return "above" if fps >= NORTH_STAR_FPS else "below"
+    return "ambiguous"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="dynamic",
@@ -87,6 +135,17 @@ def main() -> int:
                          "others characterize the ablation programs' cost, "
                          "VERDICT r4 #5)")
     args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent XLA compile cache: the first bench run pays ~minutes of
+    # compile, later runs (and the driver's end-of-round run) hit the disk
+    # cache. Set here, NOT at import time: tests import this module on the
+    # CPU backend, where a cached XLA:CPU AOT load can abort on machine-
+    # feature mismatch (CLAUDE.md).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import init_detector, video_forward
@@ -137,10 +196,6 @@ def main() -> int:
         longs.append(t_l)
         slopes.append(slope)
 
-    def fast_spread() -> float:
-        fast = sorted(slopes)[:3]
-        return (fast[-1] - fast[0]) / fast[0] if len(fast) >= 2 else 1.0
-
     def error_json(msg: str) -> int:
         # Stable schema across success and failure paths (ADVICE r4).
         print(json.dumps({"metric": "inference_throughput", "value": 0.0,
@@ -149,55 +204,25 @@ def main() -> int:
                           "verdict": "ambiguous", "error": msg}))
         return 1
 
-    def headline(verbose: bool = False) -> tuple[float, str]:
-        """Best per-call slope estimate + which estimator produced it."""
-        per_call = (min(longs) - min(shorts)) / (N_LONG - N_SHORT)
-        med = float(np.median(slopes))
-        if per_call < 0.8 * med:
-            # Cross-pair min picked a deflated glitch: the min-of-minima
-            # rejects inflated outliers but selects deflated ones. Fall
-            # back to the median per-pair slope (ADVICE r4).
-            if verbose:
-                print(f"# headline slope {per_call:.4f}s is >20% below "
-                      f"median per-pair slope {med:.4f}s — using median",
-                      file=sys.stderr)
-            return med, "median (min deflated)"
-        return per_call, "min-of-minima"
-
-    def margin() -> float:
-        """Relative distance of the current headline from the 5,000 line."""
-        per_call, _ = headline()
-        if per_call <= 0:
-            return 0.0
-        fps = BATCH * FRAMES / per_call
-        return abs(fps - NORTH_STAR_FPS) / NORTH_STAR_FPS
-
-    def below_line() -> bool:
-        per_call, _ = headline()
-        return per_call > 0 and BATCH * FRAMES / per_call < NORTH_STAR_FPS
-
+    dn = N_LONG - N_SHORT
     attempts = 0
-    while attempts < INIT_PAIRS or (
-            attempts < MAX_PAIRS
-            and (len(slopes) < 2
-                 or fast_spread() > min(SPREAD_TARGET, margin())
-                 or below_line())):   # a red call needs the full budget
+    while should_collect_more(attempts, shorts, longs, slopes, dn,
+                              BATCH * FRAMES):
         collect_pair()
         attempts += 1
     if not slopes:  # every pair glitched: report the failure, don't crash
         return error_json("all timing pairs glitched")
 
-    per_call, estimator = headline(verbose=True)
+    per_call, estimator = headline_estimate(shorts, longs, slopes, dn)
+    if estimator != "min-of-minima":
+        print(f"# headline slope is >20% below the median per-pair slope — "
+              f"using the median ({per_call:.4f}s)", file=sys.stderr)
     if per_call <= 0:  # deflated-glitch family drove the cross-pair diff <= 0
         return error_json("non-positive headline slope (deflated glitch)")
     frames_per_sec = BATCH * FRAMES / per_call
 
-    spread = fast_spread()
-    rel_margin = abs(frames_per_sec - NORTH_STAR_FPS) / NORTH_STAR_FPS
-    if spread < rel_margin:
-        verdict = "above" if frames_per_sec >= NORTH_STAR_FPS else "below"
-    else:  # margin thinner than the bench's own noise floor: say so
-        verdict = "ambiguous"
+    spread = fast_spread(slopes)
+    verdict = verdict_of(frames_per_sec, spread)
 
     print(json.dumps({
         "metric": "inference_throughput",

@@ -58,6 +58,16 @@ def _device_snapshot(tree):
     return jax.tree_util.tree_map(lambda x: x.copy(), tree)
 
 
+def device_snapshot_state(state: TrainState) -> TrainState:
+    """On-device copy of a TrainState with buffers the caller OWNS.
+
+    Required whenever a state is kept past the next ``train_step_donated``
+    call (e.g. ablation.py's best-val snapshot): donation deletes the old
+    buffers on TPU — CPU ignores donation, so the bug class only manifests
+    on the chip ("Array has been deleted", caught live in round 5)."""
+    return TrainState(*_device_snapshot(tuple(state)))
+
+
 class CheckpointManager:
     """Thin wrapper over orbax for epoch checkpoints + best-model snapshots."""
 

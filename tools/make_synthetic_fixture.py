@@ -37,7 +37,7 @@ def write_clip(dirpath, n_frames, size, amp, fake, rng, block=30):
     os.makedirs(dirpath, exist_ok=True)
     yy, xx = np.indices((size, size))
     cb = (((yy + xx) % 2) * 2 - 1).astype(np.int16)
-    g = max(1, size // block)
+    g = -(-size // block)   # ceil: kron must COVER size before the truncate
     for i in range(n_frames):
         base = rng.integers(40, 216, (g, g, 3))
         img = np.kron(base, np.ones((block, block, 1)))[:size, :size]

@@ -38,11 +38,11 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(script: str, *argv: str, timeout: int) -> str:
+def run(script: str, *argv: str, timeout: int, env=None) -> str:
     cmd = [sys.executable, os.path.join(REPO, script), *argv]
     print(f"$ {' '.join(cmd)}", flush=True)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
-                       cwd=REPO)
+                       cwd=REPO, env=env)
     sys.stdout.write(r.stdout[-4000:])
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-4000:])
@@ -88,11 +88,18 @@ def main() -> int:
         min_test_auc, min_test_acc = 0.99, 0.95
         timeout = 5400
     else:
-        epochs = args.epochs or 6
+        epochs = args.epochs or 10
+        # 129px sources: tiny models resize(129)->crop(64), so the resize is
+        # a no-op and the center crop preserves the pixel-scale signal. All
+        # 5 method roots must exist for the FF++ loader; spread keeps the
+        # PNG count at one method's worth.
         fixture_args = ["--pairs", "12", "--val-pairs", "4", "--frames", "4",
-                        "--size", "64", "--amp", "32"]
+                        "--size", "129", "--amp", "32",
+                        "--methods", *"Deepfakes Face2Face FaceSwap "
+                        "NeuralTextures FaceShifter".split(),
+                        "--spread-methods"]
         train_args = ["--tiny", "--batch-size", "4", "--accum-steps", "2",
-                      "--frame-count", "4", "--lr", "3e-4",
+                      "--frame-count", "4", "--lr", "1e-3",
                       "--epochs", str(epochs), "--num-workers", "0"]
         eval_args = ["--tiny", "--batch-size", "4", "--frame-count", "4",
                      "--num-workers", "0"]
@@ -100,11 +107,16 @@ def main() -> int:
         min_test_auc, min_test_acc = 0.75, 0.6
         timeout = 2400
 
+    # tiny profile pins CPU so the proof never contends with chip work;
+    # flagship inherits the default platform (the real TPU)
+    env = (None if args.flagship
+           else dict(os.environ, EWVIT_PLATFORM="cpu", EWVIT_CPU_DEVICES="1"))
+
     try:
         run("tools/make_synthetic_fixture.py", fixture, *fixture_args,
             timeout=300)
         stdout = run("train.py", "--root", fixture, "--output", train_out,
-                     *train_args, timeout=timeout)
+                     *train_args, timeout=timeout, env=env)
 
         losses = [float(m) for m in re.findall(
             r"train_loss=([0-9.]+)", stdout)]
@@ -116,7 +128,7 @@ def main() -> int:
 
         best_model = os.path.join(train_out, "checkpoints", "best_model")
         run("eval.py", "--root", fixture, "--model-path", best_model,
-            "--output", eval_out, *eval_args, timeout=timeout)
+            "--output", eval_out, *eval_args, timeout=timeout, env=env)
         with open(os.path.join(eval_out, "eval_results.csv")) as f:
             rows = {r["name"]: r for r in csv.DictReader(f)}
         test_auc = float(rows["overall"]["auc"])
