@@ -29,12 +29,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ewvit_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()   # EWVIT_PLATFORM=cpu redirects the functional check
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("EWVIT_PLATFORM") != "cpu":
+    # TPU-only: a cached XLA:CPU AOT load can abort on machine-feature
+    # mismatch (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 class SyntheticDecodeDataset:
@@ -87,6 +94,8 @@ def main() -> int:
     ap.add_argument("--decode-dir", type=str, default=None,
                     help="directory of PNG/JPEG frames: decode real files "
                          "through the native C++ path instead of sleeping")
+    ap.add_argument("--tiny", action="store_true",
+                    help="ModelConfig.tiny() (64px) — CPU functional check")
     args = ap.parse_args()
 
     from ewvit_tpu.configs import ModelConfig
@@ -95,7 +104,7 @@ def main() -> int:
     from ewvit_tpu.ops.preprocess import preprocess_batch
     from ewvit_tpu.utils.params import cast_kernels_for_inference
 
-    cfg = ModelConfig()
+    cfg = ModelConfig.tiny() if args.tiny else ModelConfig()
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     variables = cast_kernels_for_inference(variables, cfg.compute_dtype)
     size = cfg.arch.image_size
