@@ -24,11 +24,17 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--frame-count", type=int, default=24)
     p.add_argument("--frame-chunk", type=int, default=24)
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     import jax
     import jax.numpy as jnp
@@ -36,7 +42,8 @@ def main():
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.models.detector import init_detector, video_forward
 
-    cfg = ModelConfig(frame_chunk=args.frame_chunk)
+    cfg = (ModelConfig.tiny() if args.tiny
+           else ModelConfig(frame_chunk=args.frame_chunk))
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(variables["params"]))

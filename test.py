@@ -37,24 +37,38 @@ def parse_args():
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of 5 runs "
                         "into DIR (view with tensorboard/xprof)")
+    p.add_argument("--tiny", action="store_true",
+                   help="ModelConfig.tiny() (64px) — smoke tests / CI only")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
 
+    from ewvit_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("EWVIT_PLATFORM") != "cpu":
+        # TPU-only cache: cached XLA:CPU AOT loads can abort (CLAUDE.md)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ewvit_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ewvit_tpu.configs import ModelConfig
     from ewvit_tpu.evaluation import load_model
     from ewvit_tpu.models.detector import video_forward
 
-    cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk,
-                      pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
+    if args.tiny:
+        cfg = ModelConfig.tiny().replace(pos_mode=args.pos_mode,
+                                         use_s2d_stem=args.s2d_stem)
+    else:
+        cfg = ModelConfig(dama_dim=args.dim, frame_chunk=args.frame_chunk,
+                          pos_mode=args.pos_mode, use_s2d_stem=args.s2d_stem)
     weights = None if args.weights in ("none", "") else args.weights
     model, variables = load_model(weights, cfg)
     from ewvit_tpu.utils.params import cast_kernels_for_inference

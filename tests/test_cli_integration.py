@@ -196,6 +196,43 @@ def test_pth_export_then_eval_cli(ff_root, tiny_checkpoint, tmp_path):
     assert os.path.exists(os.path.join(out, "eval_results.csv"))
 
 
+def test_latency_cli():
+    """test.py (the reference latency harness, test.py:30-113) end-to-end
+    on the tiny config: param count, compile, slope-timed report."""
+    stdout = _run("test.py", "--tiny", "--weights", "none",
+                  "--batch-size", "1", "--frame-count", "4",
+                  "--frame-chunk", "4", "--runs", "4", "--warmup", "1")
+    assert "Parameters:" in stdout
+    assert "Average inference time:" in stdout
+    assert "Throughput:" in stdout
+
+
+def test_gflops_cli():
+    """calculate_gflops.py (reference utils/calculate_gflops.py:23-61): XLA
+    cost-model numbers for all three ablation modes."""
+    stdout = _run("calculate_gflops.py", "--tiny", "--ablation", "all",
+                  "--batch-size", "1", "--frame-count", "2",
+                  "--frame-chunk", "2")
+    assert "Parameters:" in stdout
+    for mode in ("dynamic", "sfe_only", "sfe_mwt"):
+        assert mode in stdout, f"missing {mode} row"
+    assert "GFLOPs" in stdout
+
+
+def test_feature_map_cli(ff_root, tmp_path):
+    """visualize_feature_maps.py (reference utils/visualize_feature_maps.py
+    :25-198): all four artifact files from a fixture frame."""
+    img = os.path.join(ff_root, "faceforensics", "ff++", "frames",
+                       "original", "000", "000.png")
+    out = str(tmp_path / "fm")
+    stdout = _run("visualize_feature_maps.py", "--tiny", "--image", img,
+                  "--output", out)
+    assert "Wrote visualizations" in stdout
+    for f in ("backbone_stem.png", "mwt_hf_level0.png", "gate_weights.txt",
+              "cross_attention.png"):
+        assert os.path.exists(os.path.join(out, f)), f"missing {f}"
+
+
 def test_ablation_cli(ff_root, tmp_path):
     """ablation.py end-to-end on the synthetic fixture (VERDICT r4 #1a):
     3 fresh models in reference order (reference ablation.py:332), plain-BCE
