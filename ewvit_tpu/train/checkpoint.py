@@ -148,10 +148,18 @@ class CheckpointManager:
         return self._save(state, epoch, best_val_auc, "best_model")
 
     def wait_until_finished(self) -> None:
-        """Drain in-flight async saves; re-raises the first worker error."""
+        """Drain in-flight async saves; re-raises the first worker error
+        (every future is still waited on so no save is left mid-flight)."""
         pending, self._pending = self._pending, []
+        first_error = None
         for f in pending:
-            f.result()
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_error is None:
+                    first_error = e
+        if first_error is not None:
+            raise first_error
 
     def restore(self, path: str, template: TrainState,
                 epoch: int = 0, best_val_auc: float = 0.0):

@@ -115,8 +115,22 @@ def main():
              os.path.join(args.output, "backbone_stem.png"),
              "V2-S stem |activation|")
 
-    # 2) MWT level-0 highpass energy (first call of the shared hf_fusion stack)
-    hf0 = np.asarray(cap["mwt"]["hf_fusion"]["__call__"][0], np.float32)
+    # 2) MWT level-0 highpass energy. The eval-mode "level" fast path folds
+    # hf_fusion into block-diagonal convs (its captured __call__ entries are
+    # parameter TUPLES, not feature maps — regression caught by
+    # test_feature_map_cli), so run the MWT branch separately in its
+    # reference form, which exposes the map as an explicit intermediate
+    # (models/mwt.py hf_level0).
+    from ewvit_tpu.models.mwt import MWT
+
+    mwt_vars = {"params": variables["params"]["dama"]["mwt"]}
+    if "batch_stats" in variables:
+        mwt_vars["batch_stats"] = variables["batch_stats"]["dama"]["mwt"]
+    mwt = MWT(in_channels=cfg.in_channels, dama_dim=cfg.dama_dim,
+              levels=cfg.levels)
+    _, mwt_inter = mwt.apply(mwt_vars, x, train=False,
+                             return_intermediates=True)
+    hf0 = np.asarray(mwt_inter["hf_level0"], np.float32)
     _overlay(crop, np.abs(hf0[0]).mean(-1),
              os.path.join(args.output, "mwt_hf_level0.png"),
              "MWT level-0 highpass")
