@@ -196,6 +196,53 @@ def test_pth_export_then_eval_cli(ff_root, tiny_checkpoint, tmp_path):
     assert os.path.exists(os.path.join(out, "eval_results.csv"))
 
 
+def _write_video(path, n_frames=12, size=64, fourcc="MJPG"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), 10,
+                        (size, size))
+    for i in range(n_frames):
+        w.write(np.full((size, size, 3), (i * 17) % 255, np.uint8))
+    w.release()
+
+
+def test_extract_frames_cli(tmp_path):
+    """tools/extract_frames.py (reference extract_compressed_videos.py:29-66
+    + Celeb-DF extract_frames.py:20-114): uniform sampling into the loader
+    layouts, test-list filtering with YouTube-real lines skipped."""
+    # FF++ mode: 2 'original' videos -> frames/original/<id>/NNNN.png
+    for v in ("000", "001"):
+        _write_video(str(tmp_path / "videos" / "original" / f"{v}.avi"))
+    out = tmp_path / "frames"
+    stdout = _run("tools/extract_frames.py", "ffpp",
+                  "--data-path", str(tmp_path / "videos"),
+                  "--dataset", "original", "--output", str(out),
+                  "--n-frames", "5")
+    assert "original/000: 5 frames" in stdout
+    for v in ("000", "001"):
+        pngs = os.listdir(out / "original" / v)
+        assert sorted(pngs) == [f"{i:04d}.png" for i in range(5)]
+
+    # Celeb-DF mode with a testing list (YouTube line must be skipped)
+    _write_video(str(tmp_path / "cdf" / "Celeb-real" / "id0_000.mp4"),
+                 fourcc="mp4v")
+    _write_video(str(tmp_path / "cdf" / "Celeb-synthesis" / "id0_id1_000.mp4"),
+                 fourcc="mp4v")
+    (tmp_path / "list.txt").write_text(
+        "1 Celeb-real/id0_000.mp4\n"
+        "1 YouTube-real/yt00.mp4\n"
+        "0 Celeb-synthesis/id0_id1_000.mp4\n")
+    cdf_out = tmp_path / "cdf_frames"
+    stdout = _run("tools/extract_frames.py", "celebdf",
+                  "--data-path", str(tmp_path / "cdf"),
+                  "--testing-file", str(tmp_path / "list.txt"),
+                  "--output", str(cdf_out), "--n-frames", "4")
+    assert "1 real videos" in stdout and "1 fake videos" in stdout
+    for kind, vid in (("Celeb-real", "id0_000"),
+                      ("Celeb-synthesis", "id0_id1_000")):
+        d = cdf_out / "celebdf" / "frames" / kind / vid
+        assert len(os.listdir(d)) == 4, f"{kind}/{vid}"
+
+
 def test_latency_cli():
     """test.py (the reference latency harness, test.py:30-113) end-to-end
     on the tiny config: param count, compile, slope-timed report."""
