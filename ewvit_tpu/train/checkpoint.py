@@ -98,9 +98,17 @@ class CheckpointManager:
         checkpoint at ``final`` until the replacement is fully on disk."""
         tmp = final + ".swap-in"
         old = final + ".old"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(old):
+            if os.path.exists(final):
+                shutil.rmtree(old)
+            else:
+                # A previous save crashed between its two renames: ``old`` is
+                # the ONLY copy. Promote it back before writing anything so a
+                # crash during THIS save still leaves a survivor (deleting it
+                # here would make a double-crash lose every copy).
+                os.rename(old, final)
         self._ckptr.save(tmp, tree, force=True)
         self._ckptr.wait_until_finished()
         if os.path.exists(final):

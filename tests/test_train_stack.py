@@ -184,6 +184,28 @@ def test_checkpoint_restore_falls_back_to_old_survivor(setup, tmp_path):
     assert start_epoch == 6 and best == pytest.approx(0.7)
 
 
+def test_checkpoint_double_crash_keeps_survivor(setup, tmp_path, monkeypatch):
+    """After a crash between the swap renames (only ``.old`` exists), the NEXT
+    save must promote the survivor back to ``final`` BEFORE writing — so a
+    second crash mid-write still leaves a restorable checkpoint instead of
+    deleting the only copy."""
+    model, variables, tx, state = setup
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_best(state, epoch=5, best_val_auc=0.7)
+    (tmp_path / "best_model").rename(tmp_path / "best_model.old")  # crash #1
+
+    def exploding_save(*a, **k):
+        raise RuntimeError("simulated crash mid-checkpoint-write")
+
+    monkeypatch.setattr(mgr._ckptr, "save", exploding_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):   # crash #2
+        mgr.save_best(state, epoch=6, best_val_auc=0.9)
+    monkeypatch.undo()
+
+    _, start_epoch, best = mgr.restore(str(tmp_path / "best_model"), state)
+    assert start_epoch == 6 and best == pytest.approx(0.7)  # survivor intact
+
+
 class _SyntheticDataset:
     """Tiny in-memory video dataset (uint8 NHWC clips)."""
 
